@@ -1,0 +1,71 @@
+"""Headline benchmark: KV-cached AR decode throughput, GPT-L, one TPU chip.
+
+Mirrors the reference's serving benchmark (autoregressive/serve/README.md:13:
+GPT-L batch-8 c2i @384 = 576 tokens in 3.48 s with vLLM on A100 → ~1324
+tok/s). North-star from BASELINE.json: ≥5,000 VQ tokens/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s/chip", "vs_baseline": N}
+where vs_baseline is the ratio to the reference's vLLM A100 number.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+VLLM_A100_GPT_L_TOK_S = 8 * 576 / 3.48  # serve/README.md:13
+
+
+def main():
+    from video_llamagen_tpu.core.config import gpt_config
+    from video_llamagen_tpu.models import gpt
+    from video_llamagen_tpu.inference.generate import generate
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = gpt_config("GPT-L", vocab_size=16384, block_size=576,
+                         num_classes=1000, cls_token_num=1, model_type="c2i",
+                         dtype="bfloat16")
+        batch, n_tokens, cfg_scale = 8, 576, 2.0
+    else:  # CPU smoke fallback so the script always runs
+        cfg = gpt_config("GPT-B", vocab_size=16384, block_size=16,
+                         num_classes=1000, cls_token_num=1, model_type="c2i",
+                         dtype="float32").replace(n_layer=2)
+        batch, n_tokens, cfg_scale = 2, 16, 2.0
+
+    params = gpt.init_gpt_params(jax.random.key(0), cfg)
+    params = gpt.cast_params(params, jnp.dtype(cfg.dtype))
+    cond = jnp.arange(batch, dtype=jnp.int32) % cfg.num_classes
+
+    import numpy as np
+
+    def run(seed):
+        seq = generate(params, cfg, cond, jax.random.key(seed), n_tokens,
+                       cfg_scale=cfg_scale, top_k=1000, temperature=1.0)
+        # force a device->host transfer: block_until_ready does not actually
+        # synchronize over the axon tunnel
+        return np.asarray(seq)
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    n_iters = 3 if on_tpu else 1
+    for i in range(n_iters):
+        run(i + 1)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    tok_s = batch * n_tokens / dt
+    print(json.dumps({
+        "metric": "gpt_l_c2i_384_decode_throughput" if on_tpu
+                  else "gpt_tiny_cpu_smoke_throughput",
+        "value": round(tok_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(tok_s / VLLM_A100_GPT_L_TOK_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,39 @@
+"""Test harness: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated here without TPU hardware (SURVEY.md §4);
+the driver's dryrun_multichip does the same via __graft_entry__.py.
+Env must be set before jax is first imported.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize pins JAX_PLATFORMS=axon (real TPU) at interpreter
+# start; the env var is ignored, so force CPU through the config API instead.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+@pytest.fixture(scope="session")
+def reference_path():
+    """Path to the upstream torch reference for golden parity tests."""
+    if not reference_available():
+        pytest.skip("reference repo not available")
+    return REFERENCE_DIR

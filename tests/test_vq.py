@@ -1,0 +1,103 @@
+"""VQ tokenizer: lookup kernel, quantizer STE, encode/decode round-trip shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_llamagen_tpu.core.config import VQConfig
+from video_llamagen_tpu.ops.vq_lookup import (
+    nearest_codebook_indices, nearest_codebook_indices_xla)
+from video_llamagen_tpu.tokenizers.vq import model as vq
+
+
+TINY = VQConfig(ch=16, z_channels=16, codebook_size=64, codebook_embed_dim=8,
+                encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2),
+                num_res_blocks=1, dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return vq.init_vq_params(jax.random.key(0), TINY)
+
+
+def _assert_near_optimal(got, z, cb):
+    """Chosen codes must be distance-optimal up to float rounding.
+
+    The ||e||^2 - 2 z.e formulation can flip argmin on near-ties (esp. on the
+    MXU), so compare achieved distance to the true minimum instead of indices.
+    """
+    d_all = ((z[:, None] - cb[None]) ** 2).sum(-1)
+    d_opt = d_all.min(axis=-1)
+    d_got = d_all[np.arange(len(z)), got]
+    np.testing.assert_allclose(d_got, d_opt, atol=1e-4, rtol=1e-4)
+
+
+def test_lookup_matches_bruteforce():
+    rs = np.random.RandomState(0)
+    z = rs.randn(777, 8).astype(np.float32)
+    cb = rs.randn(64, 8).astype(np.float32)
+    got_xla = np.asarray(nearest_codebook_indices_xla(jnp.asarray(z), jnp.asarray(cb)))
+    _assert_near_optimal(got_xla, z, cb)
+    interpret = jax.default_backend() != "tpu"
+    got_pl = np.asarray(nearest_codebook_indices(jnp.asarray(z), jnp.asarray(cb),
+                                                 interpret=interpret))
+    _assert_near_optimal(got_pl, z, cb)
+
+
+def test_lookup_chunked_path():
+    rs = np.random.RandomState(1)
+    z = rs.randn(100, 4).astype(np.float32)
+    cb = rs.randn(32, 4).astype(np.float32)
+    got = np.asarray(nearest_codebook_indices_xla(jnp.asarray(z), jnp.asarray(cb),
+                                                  chunk=16))
+    _assert_near_optimal(got, z, cb)
+
+
+def test_quantize_ste_gradient(params):
+    """d(loss)/d(z) flows straight through the quantizer."""
+    z = jax.random.normal(jax.random.key(2), (1, 2, 2, TINY.codebook_embed_dim))
+
+    def loss_fn(z):
+        z_q, _, _ = vq.quantize(params["quantize"], TINY, z, train=False)
+        return jnp.sum(z_q ** 2)
+
+    g = jax.grad(loss_fn)(z)
+    assert np.isfinite(np.asarray(g)).all()
+    assert not np.allclose(np.asarray(g), 0.0)
+
+
+def test_quantize_losses(params):
+    z = jax.random.normal(jax.random.key(3), (2, 4, 4, TINY.codebook_embed_dim))
+    z_q, (vq_loss, commit_loss, ent), idx = vq.quantize(params["quantize"], TINY,
+                                                        z, train=True)
+    assert z_q.shape == z.shape
+    assert idx.shape == (2 * 4 * 4,)
+    assert float(vq_loss) >= 0 and float(commit_loss) >= 0
+    # l2-normalized z_q rows have unit norm
+    norms = np.linalg.norm(np.asarray(z_q).reshape(-1, TINY.codebook_embed_dim), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_encode_decode_shapes(params):
+    x = jax.random.normal(jax.random.key(4), (1, 32, 32, 3))
+    dec, losses, idx = vq.forward(params, TINY, x)
+    assert dec.shape == x.shape  # ch_mult len 2 -> f2 downsample, decoder mirrors
+    z_q, _, _ = vq.encode(params, TINY, x)
+    assert z_q.shape == (1, 16, 16, TINY.codebook_embed_dim)
+
+
+def test_decode_code_roundtrip(params):
+    """encode -> indices -> decode_code equals encode -> z_q -> decode."""
+    x = jax.random.normal(jax.random.key(5), (1, 16, 16, 3))
+    z_q, _, idx = vq.encode(params, TINY, x)
+    dec1 = vq.decode(params, TINY, z_q)
+    dec2 = vq.decode_code(params, TINY, idx.reshape(1, -1), (8, 8))
+    np.testing.assert_allclose(np.asarray(dec1), np.asarray(dec2), atol=1e-5)
+
+
+def test_entropy_loss_uniform_is_negative_max():
+    # perfectly uniform affinities: sample entropy == avg entropy -> loss 0
+    aff = jnp.zeros((10, 16))
+    loss = vq.compute_entropy_loss(aff)
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-3)

@@ -1,0 +1,184 @@
+"""PyTorch checkpoint import shims.
+
+Converts reference-format state dicts (torch pickle, names from
+autoregressive/models/gpt.py and tokenizer/tokenizer_image/vq_model.py) into
+this framework's param pytrees, so published LlamaGen weights run unmodified
+and parity tests can compare outputs bit-close.
+
+Tolerates the reference's checkpoint-dict zoo: DDP "model", DeepSpeed
+"module", Lightning "state_dict", FSDP raw dicts, and "ema"/"ema_state_dict"
+preference (ref sample_t2v_1f.py:102-109, modeling_causalvae.py:578-601).
+
+Conventions converted:
+* torch Linear (out, in) -> ours (in, out): transpose;
+* torch Conv2d OIHW -> ours HWIO: transpose (2, 3, 1, 0);
+* per-layer modules "layers.{i}.*" -> stacked leading layer axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from .config import GPTConfig, VQConfig
+
+
+def unwrap_state_dict(ckpt: Dict[str, Any], prefer_ema: bool = True) -> Dict[str, Any]:
+    """Pull the actual weights out of any of the reference's ckpt layouts."""
+    for key in (("ema", "ema_state_dict") if prefer_ema else ()):
+        if key in ckpt:
+            return ckpt[key]
+    for key in ("model", "module", "state_dict"):
+        if key in ckpt:
+            return ckpt[key]
+    return ckpt
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _lin(sd, name) -> np.ndarray:
+    return _np(sd[name]).T.astype(np.float32)
+
+
+def _conv(sd, name_prefix) -> Dict[str, np.ndarray]:
+    w = _np(sd[name_prefix + ".weight"]).transpose(2, 3, 1, 0).astype(np.float32)
+    b = _np(sd[name_prefix + ".bias"]).astype(np.float32)
+    return {"kernel": w, "bias": b}
+
+
+def _gn(sd, name_prefix) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[name_prefix + ".weight"]).astype(np.float32),
+            "bias": _np(sd[name_prefix + ".bias"]).astype(np.float32)}
+
+
+# ---------------------------------------------------------------------------
+# GPT
+# ---------------------------------------------------------------------------
+
+def import_gpt_state_dict(sd: Dict[str, Any], cfg: GPTConfig) -> Dict[str, Any]:
+    sd = unwrap_state_dict(sd)
+    sd = {k.removeprefix("_orig_mod."): v for k, v in sd.items()}  # torch.compile
+
+    if cfg.model_type == "c2i":
+        cls_embedding = {"embedding":
+                         _np(sd["cls_embedding.embedding_table.weight"]).astype(np.float32)}
+    else:
+        cls_embedding = {
+            "uncond_embedding": _np(sd["cls_embedding.uncond_embedding"]).astype(np.float32),
+            "cap_proj": {
+                "fc1": _lin(sd, "cls_embedding.cap_proj.fc1.weight"),
+                "fc2": _lin(sd, "cls_embedding.cap_proj.fc2.weight"),
+            },
+        }
+
+    def stack(fn):
+        return np.stack([fn(i) for i in range(cfg.n_layer)])
+
+    layers = {
+        "attention": {
+            "wqkv": stack(lambda i: _lin(sd, f"layers.{i}.attention.wqkv.weight")),
+            "wo": stack(lambda i: _lin(sd, f"layers.{i}.attention.wo.weight")),
+        },
+        "ffn": {
+            "w1": stack(lambda i: _lin(sd, f"layers.{i}.feed_forward.w1.weight")),
+            "w3": stack(lambda i: _lin(sd, f"layers.{i}.feed_forward.w3.weight")),
+            "w2": stack(lambda i: _lin(sd, f"layers.{i}.feed_forward.w2.weight")),
+        },
+        "attention_norm": stack(
+            lambda i: _np(sd[f"layers.{i}.attention_norm.weight"]).astype(np.float32)),
+        "ffn_norm": stack(
+            lambda i: _np(sd[f"layers.{i}.ffn_norm.weight"]).astype(np.float32)),
+    }
+
+    return {
+        "cls_embedding": cls_embedding,
+        "tok_embeddings": _np(sd["tok_embeddings.weight"]).astype(np.float32),
+        "layers": layers,
+        "norm": _np(sd["norm.weight"]).astype(np.float32),
+        "output": _lin(sd, "output.weight"),
+    }
+
+
+def load_gpt_checkpoint(path: str, cfg: GPTConfig) -> Dict[str, Any]:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return import_gpt_state_dict(ckpt, cfg)
+
+
+# ---------------------------------------------------------------------------
+# VQ tokenizer
+# ---------------------------------------------------------------------------
+
+def _res_block(sd, prefix) -> Dict[str, Any]:
+    p = {
+        "norm1": _gn(sd, prefix + ".norm1"),
+        "conv1": _conv(sd, prefix + ".conv1"),
+        "norm2": _gn(sd, prefix + ".norm2"),
+        "conv2": _conv(sd, prefix + ".conv2"),
+    }
+    if prefix + ".nin_shortcut.weight" in sd:
+        p["nin_shortcut"] = _conv(sd, prefix + ".nin_shortcut")
+    return p
+
+
+def _attn_block(sd, prefix) -> Dict[str, Any]:
+    return {
+        "norm": _gn(sd, prefix + ".norm"),
+        "q": _conv(sd, prefix + ".q"),
+        "k": _conv(sd, prefix + ".k"),
+        "v": _conv(sd, prefix + ".v"),
+        "proj_out": _conv(sd, prefix + ".proj_out"),
+    }
+
+
+def _enc_or_dec(sd, cfg: VQConfig, which: str) -> Dict[str, Any]:
+    is_enc = which == "encoder"
+    mults = cfg.encoder_ch_mult if is_enc else cfg.decoder_ch_mult
+    n_levels = len(mults)
+    n_res = cfg.num_res_blocks if is_enc else cfg.num_res_blocks + 1
+    p: Dict[str, Any] = {"conv_in": _conv(sd, f"{which}.conv_in")}
+    levels = []
+    for li in range(n_levels):
+        prefix = f"{which}.conv_blocks.{li}"
+        level: Dict[str, Any] = {"res": [], "attn": []}
+        for ri in range(n_res):
+            level["res"].append(_res_block(sd, f"{prefix}.res.{ri}"))
+            if f"{prefix}.attn.{ri}.norm.weight" in sd:
+                level["attn"].append(_attn_block(sd, f"{prefix}.attn.{ri}"))
+        if f"{prefix}.downsample.conv.weight" in sd:
+            level["downsample"] = {"conv": _conv(sd, f"{prefix}.downsample.conv")}
+        if f"{prefix}.upsample.conv.weight" in sd:
+            level["upsample"] = {"conv": _conv(sd, f"{prefix}.upsample.conv")}
+        levels.append(level)
+    p["levels"] = levels
+    p["mid"] = {
+        "res1": _res_block(sd, f"{which}.mid.0"),
+        "attn": _attn_block(sd, f"{which}.mid.1"),
+        "res2": _res_block(sd, f"{which}.mid.2"),
+    }
+    p["norm_out"] = _gn(sd, f"{which}.norm_out")
+    p["conv_out"] = _conv(sd, f"{which}.conv_out")
+    return p
+
+
+def import_vq_state_dict(sd: Dict[str, Any], cfg: VQConfig) -> Dict[str, Any]:
+    sd = unwrap_state_dict(sd)
+    return {
+        "encoder": _enc_or_dec(sd, cfg, "encoder"),
+        "decoder": _enc_or_dec(sd, cfg, "decoder"),
+        "quantize": {"embedding":
+                     _np(sd["quantize.embedding.weight"]).astype(np.float32)},
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+def load_vq_checkpoint(path: str, cfg: VQConfig) -> Dict[str, Any]:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return import_vq_state_dict(ckpt, cfg)

@@ -1,0 +1,186 @@
+"""MAR-style per-token diffusion head (DiffLoss + SimpleMLPAdaLN) — JAX.
+
+Capability parity with reference autoregressive/models/diffloss.py:9-248:
+a small AdaLN-modulated MLP denoiser conditioned on the AR trunk's output
+vector z, trained with the IDDPM hybrid loss at cosine schedule, sampled with
+respaced DDPM ancestral steps and eps-space CFG (forward_with_cfg).
+
+TPU-first: the denoiser's residual blocks are layer-stacked under lax.scan,
+and the whole sampling ladder is one compiled scan (diffusion/gaussian.py), so
+the t2v two-level loop (AR tokens x diffusion steps) nests as scan-in-scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.gaussian import create_diffusion, GaussianDiffusion
+from ..ops.nn import layer_norm, silu
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class DiffLossConfig:
+    target_channels: int = 4       # CausalVAE latent dim
+    z_channels: int = 1024         # trunk width
+    depth: int = 3                 # diffloss_d
+    width: int = 1024              # diffloss_w
+    num_sampling_steps: str = "100"
+    frequency_embedding_size: int = 256
+
+
+def _xavier(rng, shape):
+    fan_in, fan_out = shape[0], shape[1]
+    a = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, minval=-a, maxval=a).astype(jnp.float32)
+
+
+def _dense(rng, din, dout, zero=False):
+    if zero:
+        return {"w": jnp.zeros((din, dout), jnp.float32),
+                "b": jnp.zeros((dout,), jnp.float32)}
+    return {"w": _xavier(rng, (din, dout)), "b": jnp.zeros((dout,), jnp.float32)}
+
+
+def _apply(p, x):
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def init_diffloss_params(rng: jax.Array, cfg: DiffLossConfig) -> Params:
+    r = jax.random.split(rng, 8)
+    w = cfg.width
+
+    def init_block(key):
+        k = jax.random.split(key, 3)
+        return {
+            "in_ln": {"w": jnp.ones((w,), jnp.float32),
+                      "b": jnp.zeros((w,), jnp.float32)},
+            "mlp1": _dense(k[0], w, w),
+            "mlp2": _dense(k[1], w, w),
+            # zero-init adaLN (ref diffloss.py:205-208)
+            "adaln": _dense(k[2], w, 3 * w, zero=True),
+        }
+
+    blocks = jax.vmap(init_block)(jax.random.split(r[0], cfg.depth))
+    return {
+        "time_embed": {
+            "fc1": {"w": (jax.random.normal(r[1], (cfg.frequency_embedding_size, w))
+                          * 0.02).astype(jnp.float32),
+                    "b": jnp.zeros((w,), jnp.float32)},
+            "fc2": {"w": (jax.random.normal(r[2], (w, w)) * 0.02).astype(jnp.float32),
+                    "b": jnp.zeros((w,), jnp.float32)},
+        },
+        "cond_embed": _dense(r[3], cfg.z_channels, w),
+        "input_proj": _dense(r[4], cfg.target_channels, w),
+        "res_blocks": blocks,
+        "final": {
+            "adaln": _dense(r[5], w, 2 * w, zero=True),
+            "linear": _dense(r[6], w, cfg.target_channels * 2, zero=True),
+        },
+    }
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal embedding, cos-first (ref diffloss.py:72-91)."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def mlp_adaln_forward(params: Params, cfg: DiffLossConfig, x: jnp.ndarray,
+                      t: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """x (N, C), t (N,), c (N, z_channels) -> (N, 2C) (ref diffloss.py:219-238)."""
+    x = _apply(params["input_proj"], x)
+    te = timestep_embedding(t, cfg.frequency_embedding_size).astype(x.dtype)
+    te = _apply(params["time_embed"]["fc2"], silu(_apply(params["time_embed"]["fc1"], te)))
+    y = te + _apply(params["cond_embed"], c.astype(x.dtype))
+
+    def body(x, block):
+        mod = _apply(block["adaln"], silu(y))
+        shift, scale, gate = jnp.split(mod, 3, axis=-1)
+        h = layer_norm(x, block["in_ln"]["w"].astype(x.dtype),
+                       block["in_ln"]["b"].astype(x.dtype))
+        h = h * (1 + scale) + shift
+        h = _apply(block["mlp2"], silu(_apply(block["mlp1"], h)))
+        return x + gate * h, None
+
+    x, _ = jax.lax.scan(body, x, params["res_blocks"])
+
+    mod = _apply(params["final"]["adaln"], silu(y))
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    x = layer_norm(x) * (1 + scale) + shift
+    return _apply(params["final"]["linear"], x)
+
+
+def mlp_adaln_forward_with_cfg(params: Params, cfg: DiffLossConfig,
+                               x: jnp.ndarray, t: jnp.ndarray, c: jnp.ndarray,
+                               cfg_scale: float) -> jnp.ndarray:
+    """Eps-space CFG over a [cond; uncond] doubled batch (ref diffloss.py:240-248).
+
+    The two x halves are identical by construction (shared noise); outputs are
+    re-duplicated so both halves advance in lockstep.
+    """
+    half = x[: x.shape[0] // 2]
+    combined = jnp.concatenate([half, half], axis=0)
+    out = mlp_adaln_forward(params, cfg, combined, t, c)
+    ch = cfg.target_channels
+    eps, rest = out[:, :ch], out[:, ch:]
+    cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+    guided = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+    eps = jnp.concatenate([guided, guided], axis=0)
+    return jnp.concatenate([eps, rest], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# DiffLoss API (train + sample)
+# ---------------------------------------------------------------------------
+
+def diffloss_train(params: Params, cfg: DiffLossConfig, target: jnp.ndarray,
+                   z: jnp.ndarray, rng: jax.Array,
+                   mask: Optional[jnp.ndarray] = None,
+                   train_diffusion: Optional[GaussianDiffusion] = None) -> jnp.ndarray:
+    """Per-token diffusion loss (ref diffloss.py:26-33). target/z: (N, C)/(N, zc)."""
+    diff = train_diffusion or create_diffusion("", "cosine")
+    rt, rn = jax.random.split(rng)
+    t = jax.random.randint(rt, (target.shape[0],), 0, diff.num_timesteps)
+
+    def model_fn(x_t, t_orig):
+        return mlp_adaln_forward(params, cfg, x_t, t_orig, z)
+
+    loss = diff.training_losses(model_fn, target.astype(jnp.float32), t, rn)
+    if mask is not None:
+        return (loss * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return loss.mean()
+
+
+def diffloss_sample(params: Params, cfg: DiffLossConfig, z: jnp.ndarray,
+                    rng: jax.Array, temperature: float = 1.0,
+                    cfg_scale: float = 1.0,
+                    gen_diffusion: Optional[GaussianDiffusion] = None) -> jnp.ndarray:
+    """Sample latents conditioned on trunk vectors z (N, zc) -> (N, C)
+    (ref diffloss.py:35-52). With CFG, z holds [cond; uncond] halves and the
+    returned halves are identical."""
+    diff = gen_diffusion or create_diffusion(cfg.num_sampling_steps, "cosine")
+    rn, rs = jax.random.split(rng)
+    n = z.shape[0]
+    if cfg_scale != 1.0:
+        noise_half = jax.random.normal(rn, (n // 2, cfg.target_channels), jnp.float32)
+        noise = jnp.concatenate([noise_half, noise_half], axis=0)
+
+        def model_fn(x, t_orig):
+            return mlp_adaln_forward_with_cfg(params, cfg, x, t_orig, z, cfg_scale)
+    else:
+        noise = jax.random.normal(rn, (n, cfg.target_channels), jnp.float32)
+
+        def model_fn(x, t_orig):
+            return mlp_adaln_forward(params, cfg, x, t_orig, z)
+
+    return diff.p_sample_loop(model_fn, noise, rs, temperature=temperature)

@@ -1,0 +1,393 @@
+"""Llama-style autoregressive image GPT (c2i / t2i) — TPU-native.
+
+Capability parity with reference autoregressive/models/gpt.py (RMSNorm, SwiGLU
+with multiple_of=256 rounding, fused-QKV attention with GQA, 2D RoPE with a
+zeroed cls-token prefix, class/caption conditioning with CFG dropout, CE loss
+with `valid` masking, zero-init output head, model zoo gpt.py:441-470) — but a
+different architecture:
+
+* pure functional: params are a pytree; no module state, no buffers;
+* transformer blocks are **stacked** along a leading layer axis and executed
+  with `jax.lax.scan` — O(1) compile time in depth, FSDP/TP-shardable with one
+  rule per weight name (parallel/mesh.py);
+* the KV cache is an explicit pytree threaded through the compiled decode step
+  (inference/generate.py) instead of mutable nn.Module buffers
+  (ref gpt.py:170-185);
+* computation in bfloat16, float32 master params, RMSNorm/softmax in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GPTConfig
+from ..core.rope import precompute_freqs_2d, apply_rotary_emb
+from ..ops.nn import (
+    rms_norm, linear, silu, gelu_tanh, dropout, drop_path,
+    init_linear, init_embedding,
+)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def init_block_params(rng: jax.Array, cfg: GPTConfig) -> Params:
+    """One transformer block. Weight layout: (in, out)."""
+    r = jax.random.split(rng, 5)
+    h = cfg.ffn_hidden
+    total_kv_dim = (cfg.n_head + 2 * cfg.kv_heads) * cfg.head_dim
+    std = cfg.initializer_range
+    return {
+        "attention": {
+            "wqkv": init_linear(r[0], cfg.dim, total_kv_dim, std),
+            "wo": init_linear(r[1], cfg.dim, cfg.dim, std),
+        },
+        "ffn": {
+            "w1": init_linear(r[2], cfg.dim, h, std),
+            "w3": init_linear(r[3], cfg.dim, h, std),
+            "w2": init_linear(r[4], h, cfg.dim, std),
+        },
+        "attention_norm": jnp.ones((cfg.dim,), jnp.float32),
+        "ffn_norm": jnp.ones((cfg.dim,), jnp.float32),
+    }
+
+
+def init_gpt_params(rng: jax.Array, cfg: GPTConfig) -> Params:
+    r = jax.random.split(rng, 4)
+    std = cfg.initializer_range
+
+    # conditioning embedder (ref gpt.py:56-115)
+    if cfg.model_type == "c2i":
+        cls_embedding = {
+            # +1 row: the CFG null class (ref LabelEmbedder, gpt.py:62)
+            "embedding": init_embedding(r[0], cfg.num_classes + 1, cfg.dim, std),
+        }
+    elif cfg.model_type in ("t2i", "t2v"):
+        rr = jax.random.split(r[0], 3)
+        cls_embedding = {
+            "uncond_embedding": (
+                jax.random.normal(rr[0], (cfg.cls_token_num, cfg.caption_dim))
+                / cfg.caption_dim ** 0.5
+            ).astype(jnp.float32),
+            "cap_proj": {
+                "fc1": init_linear(rr[1], cfg.caption_dim, cfg.dim, std),
+                "fc2": init_linear(rr[2], cfg.dim, cfg.dim, std),
+            },
+        }
+    else:
+        raise ValueError(f"unknown model_type {cfg.model_type}")
+
+    # stacked blocks: every leaf gets a leading (n_layer,) axis
+    layer_rngs = jax.random.split(r[1], cfg.n_layer)
+    layers = jax.vmap(lambda k: init_block_params(k, cfg))(layer_rngs)
+
+    return {
+        "cls_embedding": cls_embedding,
+        "tok_embeddings": init_embedding(r[2], cfg.vocab_size, cfg.dim, std),
+        "layers": layers,
+        "norm": jnp.ones((cfg.dim,), jnp.float32),
+        # zero-init head (ref gpt.py:302-307)
+        "output": init_linear(r[3], cfg.dim, cfg.vocab_size, std, zero=True),
+    }
+
+
+def cast_params(params: Params, dtype) -> Params:
+    """Cast float params for inference (bf16 weights halve decode HBM traffic)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Conditioning embedders
+# ---------------------------------------------------------------------------
+
+def embed_class(params: Params, cfg: GPTConfig, labels: jnp.ndarray,
+                rng: Optional[jax.Array] = None, train: bool = False) -> jnp.ndarray:
+    """(B,) int labels -> (B, 1, dim); CFG dropout at train (ref gpt.py:56-83)."""
+    if train and cfg.class_dropout_prob > 0 and rng is not None:
+        drop = jax.random.uniform(rng, labels.shape) < cfg.class_dropout_prob
+        labels = jnp.where(drop, cfg.num_classes, labels)
+    emb = params["cls_embedding"]["embedding"][labels]
+    return emb[:, None, :]
+
+
+def embed_caption(params: Params, cfg: GPTConfig, caption: jnp.ndarray,
+                  rng: Optional[jax.Array] = None, train: bool = False,
+                  dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(B, T, caption_dim) T5 features -> (B, T, dim) (ref gpt.py:89-115)."""
+    ce = params["cls_embedding"]
+    if train and cfg.class_dropout_prob > 0 and rng is not None:
+        drop = jax.random.uniform(rng, (caption.shape[0],)) < cfg.class_dropout_prob
+        caption = jnp.where(drop[:, None, None],
+                            ce["uncond_embedding"].astype(caption.dtype), caption)
+    x = caption.astype(dtype)
+    x = gelu_tanh(linear(x, ce["cap_proj"]["fc1"]))
+    return linear(x, ce["cap_proj"]["fc2"])
+
+
+def embed_cond(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
+               rng: Optional[jax.Array] = None, train: bool = False,
+               dtype=jnp.bfloat16) -> jnp.ndarray:
+    if cfg.model_type == "c2i":
+        emb = embed_class(params, cfg, cond, rng, train).astype(dtype)
+    else:
+        emb = embed_caption(params, cfg, cond, rng, train, dtype)
+    return emb[:, : cfg.cls_token_num]
+
+
+def uncond_caption_embedding(params: Params) -> jnp.ndarray:
+    return params["cls_embedding"]["uncond_embedding"]
+
+
+# ---------------------------------------------------------------------------
+# Attention / block (shared by full-seq forward and cached decode)
+# ---------------------------------------------------------------------------
+
+def _qkv(block: Params, cfg: GPTConfig, x: jnp.ndarray,
+         freqs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """x: (B,S,dim) -> q (B,S,H,D), k/v (B,S,KH,D) with RoPE applied to q,k."""
+    b, s, _ = x.shape
+    kv_size = cfg.kv_heads * cfg.head_dim
+    qkv = linear(x, block["attention"]["wqkv"])
+    q, k, v = jnp.split(qkv, [cfg.dim, cfg.dim + kv_size], axis=-1)
+    q = q.reshape(b, s, cfg.n_head, cfg.head_dim)
+    k = k.reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    q = apply_rotary_emb(q, freqs)
+    k = apply_rotary_emb(k, freqs)
+    return q, k, v
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=2)
+
+
+def _attn_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """q (B,Sq,H,D), k/v (B,Sk,H,D), mask bool (..., Sq, Sk) -> (B,Sq,H*D).
+
+    Softmax in float32; additive -inf masking like SDPA with attn_mask.
+    """
+    b, sq, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # rows fully masked (padded-text queries before the forced diagonal) -> 0
+    probs = jnp.nan_to_num(probs)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.reshape(b, sq, h * d)
+
+
+def _ffn(block: Params, x: jnp.ndarray) -> jnp.ndarray:
+    f = block["ffn"]
+    return linear(silu(linear(x, f["w1"])) * linear(x, f["w3"]), f["w2"])
+
+
+def block_forward(block: Params, cfg: GPTConfig, x: jnp.ndarray,
+                  freqs: jnp.ndarray, mask: Optional[jnp.ndarray],
+                  rngs: Optional[Dict[str, jax.Array]] = None,
+                  train: bool = False, dp_rate=0.0) -> jnp.ndarray:
+    """Full-sequence block (training / prefill without cache)."""
+    h = rms_norm(x, block["attention_norm"], cfg.norm_eps)
+    q, k, v = _qkv(block, cfg, h, freqs)
+    n_rep = cfg.n_head // cfg.kv_heads
+    attn = _attn_core(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep), mask)
+    attn = linear(attn, block["attention"]["wo"])
+    if train and rngs is not None:
+        attn = dropout(rngs.get("resid"), attn, cfg.resid_dropout_p, not train)
+        attn = drop_path(rngs.get("drop_path"), attn, dp_rate, not train)
+    x = x + attn
+    f = _ffn(block, rms_norm(x, block["ffn_norm"], cfg.norm_eps))
+    if train and rngs is not None:
+        f = dropout(rngs.get("ffn"), f, cfg.ffn_dropout_p, not train)
+        f = drop_path(rngs.get("drop_path2"), f, dp_rate, not train)
+    return x + f
+
+
+# ---------------------------------------------------------------------------
+# Full-sequence forward (training + naive inference)
+# ---------------------------------------------------------------------------
+
+def make_causal_mask(seq_len: int) -> jnp.ndarray:
+    return jnp.tril(jnp.ones((seq_len, seq_len), jnp.bool_))
+
+
+def forward(params: Params, cfg: GPTConfig,
+            idx: Optional[jnp.ndarray],
+            cond: jnp.ndarray,
+            targets: Optional[jnp.ndarray] = None,
+            mask: Optional[jnp.ndarray] = None,
+            valid: Optional[jnp.ndarray] = None,
+            rng: Optional[jax.Array] = None,
+            train: bool = False,
+            freqs_cis: Optional[jnp.ndarray] = None):
+    """Training / full-context forward (ref gpt.py:334-385).
+
+    idx:   (B, block_size-?) int tokens or None (cond-only prefill)
+    cond:  (B,) labels for c2i, (B, T, caption_dim) features for t2i
+    mask:  optional bool (B, 1, S, S) attention mask; defaults to causal
+    returns (logits, loss) — logits (B, T_img, vocab) truncated to start at the
+    last conditioning position, so logits[:, i] predicts image token i.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    rngs = {}
+    if rng is not None:
+        keys = jax.random.split(rng, 6)
+        rngs = dict(zip(["cond", "tok", "resid", "ffn", "drop_path", "drop_path2"], keys))
+
+    cond_emb = embed_cond(params, cfg, cond, rngs.get("cond"), train, dtype)
+    if idx is not None:
+        tok = params["tok_embeddings"][idx].astype(dtype)
+        h = jnp.concatenate([cond_emb, tok], axis=1)
+    else:
+        h = cond_emb
+    if train:
+        h = dropout(rngs.get("tok"), h, cfg.token_dropout_p, not train)
+
+    seq_len = h.shape[1]
+    if freqs_cis is None:
+        freqs_cis = precompute_freqs_2d(cfg.grid_size, cfg.head_dim, cfg.rope_base,
+                                        cfg.cls_token_num)
+    freqs = freqs_cis[:seq_len]
+    if mask is None:
+        mask = make_causal_mask(seq_len)[None, None]
+
+    dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.n_layer)
+
+    def body(carry, xs):
+        layer_params, dp_rate = xs
+        h = block_forward(layer_params, cfg, carry, freqs, mask, rngs or None,
+                          train, dp_rate)
+        return h, None
+
+    block_fn = body
+    if cfg.remat and train:
+        block_fn = jax.checkpoint(body)
+    h, _ = jax.lax.scan(block_fn, h, (params["layers"], dp_rates))
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = linear(h, params["output"]).astype(jnp.float32)
+    logits = logits[:, cfg.cls_token_num - 1:]
+
+    loss = None
+    if targets is not None:
+        loss = cross_entropy_loss(logits[:, : targets.shape[1]], targets, valid)
+    return logits, loss
+
+
+def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                       valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """CE with optional per-sample `valid` weighting (ref gpt.py:378-384)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if valid is not None:
+        w = jnp.broadcast_to(valid[:, None].astype(jnp.float32), nll.shape)
+        return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+    return nll.mean()
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decode (used by inference/generate.py)
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -> Params:
+    shape = (cfg.n_layer, batch, max_seq, cfg.kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def prefill_forward(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
+                    cache: Params, prefill_mask: Optional[jnp.ndarray],
+                    freqs_cis: jnp.ndarray):
+    """Run the conditioning prefix, filling cache positions [0, T).
+
+    cond_emb: (B, T, dim) already-embedded conditioning.
+    prefill_mask: bool (B, 1, T, T) or None (pure causal).
+    Returns (last_logits (B, vocab), cache).
+    """
+    b, t, _ = cond_emb.shape
+    freqs = freqs_cis[:t]
+    if prefill_mask is None:
+        prefill_mask = make_causal_mask(t)[None, None]
+    h = cond_emb
+    n_rep = cfg.n_head // cfg.kv_heads
+
+    def body(h, xs):
+        layer_params, k_cache_l, v_cache_l = xs
+        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv(layer_params, cfg, hn, freqs)
+        k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k.astype(k_cache_l.dtype),
+                                                 (0, 0, 0, 0))
+        v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v.astype(v_cache_l.dtype),
+                                                 (0, 0, 0, 0))
+        attn = _attn_core(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep), prefill_mask)
+        h = h + linear(attn, layer_params["attention"]["wo"])
+        h = h + _ffn(layer_params, rms_norm(h, layer_params["ffn_norm"], cfg.norm_eps))
+        return h, (k_cache_l, v_cache_l)
+
+    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+    h = rms_norm(h[:, -1:], params["norm"], cfg.norm_eps)
+    logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
+    return logits, {"k": k_new, "v": v_new}
+
+
+def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
+                pos: jnp.ndarray, cache: Params,
+                col_valid: Optional[jnp.ndarray],
+                freqs_cis: jnp.ndarray):
+    """One cached decode step — the hot loop body, designed to live in lax.scan.
+
+    token_emb: (B, 1, dim); pos: scalar int32 (absolute position);
+    col_valid: optional bool (B, S_max) marking valid attention columns
+    (padded-text columns removed, ref generate.py:156-165).
+    Returns (logits (B, vocab), cache).
+    """
+    b = token_emb.shape[0]
+    s_max = cache["k"].shape[2]
+    freqs = jax.lax.dynamic_slice_in_dim(freqs_cis, pos, 1, axis=0)
+
+    # attention column mask: j <= pos AND col_valid[j]
+    col_ids = jnp.arange(s_max)
+    causal_cols = col_ids[None, :] <= pos          # (1, S)
+    if col_valid is not None:
+        cols = causal_cols & col_valid
+    else:
+        cols = jnp.broadcast_to(causal_cols, (b, s_max))
+    mask = cols[:, None, None, :]                   # (B,1,1,S)
+
+    n_rep = cfg.n_head // cfg.kv_heads
+    h = token_emb
+
+    def body(h, xs):
+        layer_params, k_cache_l, v_cache_l = xs
+        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv(layer_params, cfg, hn, freqs)
+        k_cache_l = jax.lax.dynamic_update_slice(
+            k_cache_l, k.astype(k_cache_l.dtype), (0, pos, 0, 0))
+        v_cache_l = jax.lax.dynamic_update_slice(
+            v_cache_l, v.astype(v_cache_l.dtype), (0, pos, 0, 0))
+        attn = _attn_core(q, _repeat_kv(k_cache_l, n_rep),
+                          _repeat_kv(v_cache_l, n_rep), mask)
+        h = h + linear(attn, layer_params["attention"]["wo"])
+        h = h + _ffn(layer_params, rms_norm(h, layer_params["ffn_norm"], cfg.norm_eps))
+        return h, (k_cache_l, v_cache_l)
+
+    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
+    return logits, {"k": k_new, "v": v_new}

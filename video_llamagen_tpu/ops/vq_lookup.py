@@ -1,0 +1,92 @@
+"""Fused VQ codebook nearest-neighbor lookup (Pallas TPU kernel).
+
+The reference materializes the full (N, codebook_size) distance matrix in HBM
+(tokenizer/tokenizer_image/vq_model.py:224-229) — at batch 256 of 16x16 tokens
+against the 16384-entry codebook that is multiple GB. This kernel streams
+N-tiles through VMEM: distance matmul + argmin fused, only int32 indices ever
+hit HBM. Codebook (16384 x 8 x 4B = 512 KB) stays resident in VMEM.
+
+Ties break to the lowest index (both jnp.argmin and torch.argmin do this), so
+indices are bit-identical to the reference formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 512
+
+
+def _nn_kernel(z_ref, cb_t_ref, cb_sq_ref, idx_ref):
+    """z (TILE_N, D) · codebook^T (D, K) fused with ||e||^2 bias + argmin.
+
+    ||z||^2 is constant per row and does not affect the argmin, so distances
+    reduce to ||e||^2 - 2 z·e.
+    """
+    z = z_ref[:].astype(jnp.float32)
+    scores = jnp.dot(z, cb_t_ref[:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)          # (TILE_N, K)
+    d = cb_sq_ref[:].astype(jnp.float32) - 2.0 * scores           # (1,K) bcast
+    idx_ref[:] = jnp.argmin(d, axis=-1).astype(jnp.int32)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_codebook_indices(z_flat: jnp.ndarray, codebook: jnp.ndarray,
+                             interpret: bool = False) -> jnp.ndarray:
+    """argmin_j ||z_i - e_j||^2 for all rows. z_flat (N, D), codebook (K, D) -> (N,).
+
+    Set interpret=True on CPU (tests); on TPU the Mosaic kernel runs.
+    """
+    n, d = z_flat.shape
+    k = codebook.shape[0]
+    n_pad = (-n) % TILE_N
+    z_padded = jnp.pad(z_flat, ((0, n_pad), (0, 0)))
+    cb_t = codebook.T.astype(jnp.float32)                          # (D, K)
+    cb_sq = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)[None, :]  # (1, K)
+
+    grid = (z_padded.shape[0] // TILE_N,)
+    idx = pl.pallas_call(
+        _nn_kernel,
+        out_shape=jax.ShapeDtypeStruct((z_padded.shape[0], 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(z_padded, cb_t, cb_sq)
+    return idx[:n, 0]
+
+
+def nearest_codebook_indices_xla(z_flat: jnp.ndarray, codebook: jnp.ndarray,
+                                 chunk: int = 8192) -> jnp.ndarray:
+    """Pure-XLA fallback with N-chunking to bound the distance matrix."""
+    n = z_flat.shape[0]
+    cb = codebook.astype(jnp.float32)
+    cb_sq = jnp.sum(cb ** 2, axis=-1)
+
+    def one_chunk(z):
+        scores = z.astype(jnp.float32) @ cb.T
+        return jnp.argmin(cb_sq[None] - 2.0 * scores, axis=-1).astype(jnp.int32)
+
+    if n <= chunk:
+        return one_chunk(z_flat)
+    n_pad = (-n) % chunk
+    zp = jnp.pad(z_flat, ((0, n_pad), (0, 0))).reshape(-1, chunk, z_flat.shape[1])
+    idx = jax.lax.map(one_chunk, zp).reshape(-1)
+    return idx[:n]
+
+
+def vq_lookup(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch: Pallas on TPU, interpret/XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        return nearest_codebook_indices(z_flat, codebook)
+    return nearest_codebook_indices_xla(z_flat, codebook)
