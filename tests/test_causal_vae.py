@@ -1,0 +1,132 @@
+"""CausalVideoVAE: causal-conv semantics, shapes, tiling, torch-module parity."""
+
+import importlib
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_llamagen_tpu.core.config import CausalVAEConfig
+from video_llamagen_tpu.tokenizers.causal_vae import model as cv
+
+
+TINY = CausalVAEConfig(hidden_size=8, z_channels=2, embed_dim=2,
+                       ch_mult=(1, 2), num_res_blocks=1,
+                       time_downsample_levels=(0,),
+                       tile_sample_min_t=5, dtype="float32")
+# TINY: 2 levels -> spatial 2x, temporal 2x
+
+
+@pytest.fixture(scope="module")
+def params():
+    return cv.init_causal_vae_params(jax.random.key(0), TINY)
+
+
+def _ref_modules(reference_path):
+    """Import reference modules/ subpackage directly (the full causalvideovae
+    package needs diffusers, absent here)."""
+    name = "cvvm"
+    if name not in sys.modules:
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [reference_path +
+                        "/CausalVideoVAE/causalvideovae/model/modules"]
+        sys.modules[name] = pkg
+    return importlib.import_module
+
+
+def test_causal_conv_first_frame_independence(params):
+    """Causality: output frame 0 must not depend on later input frames."""
+    x1 = jax.random.normal(jax.random.key(1), (1, 4, 8, 8, 3))
+    x2 = x1.at[:, 2:].set(0.0)
+    p = params["encoder"]["conv_in"]
+    y1 = cv.causal_conv3d(x1, p)
+    y2 = cv.causal_conv3d(x2, p)
+    np.testing.assert_allclose(np.asarray(y1[:, :2]), np.asarray(y2[:, :2]),
+                               atol=1e-5)
+
+
+def test_causal_conv_matches_torch(reference_path):
+    import torch
+    imp = _ref_modules(reference_path)
+    conv_mod = imp("cvvm.conv")
+
+    torch.manual_seed(0)
+    ref = conv_mod.CausalConv3d(3, 5, 3, padding=1)
+    x = np.random.RandomState(0).randn(1, 3, 4, 6, 6).astype(np.float32)  # NCTHW
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    # convert torch OIDHW -> DHWIO, NCTHW -> NTHWC
+    kernel = ref.conv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+    bias = ref.conv.bias.detach().numpy()
+    xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    got = cv.causal_conv3d(xj, {"kernel": jnp.asarray(kernel),
+                                "bias": jnp.asarray(bias)})
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3), want,
+                               atol=1e-4)
+
+
+def test_time_downsample_matches_torch(reference_path):
+    import torch
+    imp = _ref_modules(reference_path)
+    ud = imp("cvvm.updownsample")
+    x = np.random.RandomState(1).randn(1, 2, 7, 4, 4).astype(np.float32)
+    ref = ud.TimeDownsample2x(2, 2)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = cv.time_downsample2x(jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3), want,
+                               atol=1e-5)
+
+
+def test_time_upsample_matches_torch(reference_path):
+    import torch
+    imp = _ref_modules(reference_path)
+    ud = imp("cvvm.updownsample")
+    x = np.random.RandomState(2).randn(1, 2, 5, 4, 4).astype(np.float32)
+    ref = ud.TimeUpsample2x(2, 2)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = cv.time_upsample2x(jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3), want,
+                               atol=1e-5)
+
+
+def test_encode_decode_shapes(params):
+    # 5 frames, 16x16 -> latent (1, 3, 8, 8, 2): time (5-1)/2+1=3, spatial /2
+    x = jax.random.normal(jax.random.key(3), (1, 5, 16, 16, 3))
+    post = cv.encode(params, TINY, x)
+    assert post.mean.shape == (1, 3, 8, 8, TINY.embed_dim)
+    z = post.sample(jax.random.key(4))
+    dec = cv.decode(params, TINY, z)
+    assert dec.shape == x.shape
+    assert np.isfinite(np.asarray(dec)).all()
+
+
+def test_kl_finite(params):
+    x = jax.random.normal(jax.random.key(5), (1, 3, 8, 8, 3))
+    post = cv.encode(params, TINY, x)
+    kl = post.kl()
+    assert kl.shape == (1,)
+    assert float(kl[0]) >= 0
+
+
+def test_tiled_encode_matches_untiled_first_window(params):
+    """First temporal window of tiled encode == untiled encode of that window."""
+    x = jax.random.normal(jax.random.key(6), (1, 9, 16, 16, 3))
+    z_tiled = cv.tiled_encode_temporal(params, TINY, x)
+    z_first = cv.encode(params, TINY, x[:, :TINY.tile_sample_min_t]).mode()
+    np.testing.assert_allclose(np.asarray(z_tiled[:, :z_first.shape[1]]),
+                               np.asarray(z_first), atol=1e-5)
+    # total latent frames: win=5 -> 3 latents, then chunks of 4 frames
+    assert z_tiled.shape[1] >= 3
+
+
+def test_tiled_decode_temporal_shapes(params):
+    z = jax.random.normal(jax.random.key(7), (1, 5, 8, 8, TINY.embed_dim))
+    dec = cv.tiled_decode_temporal(params, TINY, z)
+    assert dec.shape[2:] == (16, 16, 3)
+    assert np.isfinite(np.asarray(dec)).all()

@@ -1,0 +1,84 @@
+"""Continuous-batching serving engine: correctness vs the one-shot generate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_llamagen_tpu.core.config import GPTConfig
+from video_llamagen_tpu.models import gpt
+from video_llamagen_tpu.inference.generate import generate
+from video_llamagen_tpu.serve.engine import ServeEngine, SamplingParams
+
+
+TINY = GPTConfig(dim=64, n_layer=2, n_head=4, vocab_size=97, num_classes=10,
+                 block_size=16, cls_token_num=1, model_type="c2i",
+                 dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def params():
+    p = gpt.init_gpt_params(jax.random.key(0), TINY)
+    p = dict(p)
+    p["output"] = jax.random.normal(jax.random.key(9), p["output"].shape) * 0.02
+    return p
+
+
+def test_engine_batch_generate(params):
+    eng = ServeEngine(params, TINY, max_batch=4)
+    sp = SamplingParams(max_tokens=8, temperature=1.0, top_k=5, cfg_scale=2.0)
+    reqs = eng.generate([1, 2, 3], sp)
+    assert len(reqs) == 3
+    for r in reqs:
+        assert len(r.tokens) == 8
+        assert all(0 <= t < TINY.vocab_size for t in r.tokens)
+    stats = eng.log_stats()
+    assert stats["requests_done"] == 3
+    assert stats["tokens_generated"] >= 3 * 7
+
+
+def test_engine_greedy_matches_generate(params):
+    """Greedy engine output == greedy compiled generate (same cache math)."""
+    eng = ServeEngine(params, TINY, max_batch=2)
+    sp = SamplingParams(max_tokens=6, temperature=1.0, top_k=0, top_p=1.0,
+                        cfg_scale=1.0)
+    # force greedy by monkey-level: temperature tiny is unstable; instead use
+    # the engine then compare against generate with sample_logits=False only
+    # when sampling is deterministic. Use argmax comparison via top_k=1.
+    sp.top_k = 1
+    reqs = eng.generate([7], sp)
+    got = reqs[0].tokens
+
+    want = np.asarray(generate(params, TINY, jnp.asarray([7]),
+                               jax.random.key(0), 6, cfg_scale=1.0,
+                               sample_logits=False))[0].tolist()
+    assert got == want, (got, want)
+
+
+def test_engine_continuous_admission(params):
+    """Requests added mid-flight are picked up; queue drains."""
+    eng = ServeEngine(params, TINY, max_batch=2)
+    sp = SamplingParams(max_tokens=4, top_k=3)
+    for c in range(5):  # more requests than slots
+        eng.add_request(c % TINY.num_classes, sp)
+    done = []
+    steps = 0
+    while eng.has_unfinished():
+        done += eng.step()
+        steps += 1
+        assert steps < 100
+    assert len(done) == 5
+    assert eng.log_stats()["queued"] == 0
+
+
+def test_engine_mixed_sampling_params(params):
+    """Per-request CFG/temperature coexist in one batch."""
+    eng = ServeEngine(params, TINY, max_batch=2)
+    eng.add_request(1, SamplingParams(max_tokens=3, cfg_scale=2.0, top_k=2))
+    eng.add_request(2, SamplingParams(max_tokens=5, cfg_scale=1.0,
+                                      temperature=0.7))
+    done = []
+    while eng.has_unfinished():
+        done += eng.step()
+    lens = sorted(len(r.tokens) for r in done)
+    assert lens == [3, 5]

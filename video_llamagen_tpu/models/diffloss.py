@@ -171,7 +171,10 @@ def diffloss_sample(params: Params, cfg: DiffLossConfig, z: jnp.ndarray,
     diff = gen_diffusion or create_diffusion(cfg.num_sampling_steps, "cosine")
     rn, rs = jax.random.split(rng)
     n = z.shape[0]
-    if cfg_scale != 1.0:
+    # cfg_scale may be a traced scalar (Muse per-step CFG ramp): any traced
+    # value takes the CFG path; the no-CFG path needs a static literal 1.0.
+    use_cfg = not (isinstance(cfg_scale, (int, float)) and cfg_scale == 1.0)
+    if use_cfg:
         noise_half = jax.random.normal(rn, (n // 2, cfg.target_channels), jnp.float32)
         noise = jnp.concatenate([noise_half, noise_half], axis=0)
 

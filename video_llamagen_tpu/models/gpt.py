@@ -391,3 +391,103 @@ def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
     return logits, {"k": k_new, "v": v_new}
+
+
+def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
+                      pos: jnp.ndarray, cache: Params, active: jnp.ndarray,
+                      freqs_cis: jnp.ndarray):
+    """Continuous-batching decode: PER-SLOT positions (serving hot loop).
+
+    token_emb: (B, 1, dim); pos: (B,) int32 absolute position per slot;
+    active: (B,) bool — inactive slots' caches are left untouched and their
+    logits are garbage (callers must ignore them). This is the TPU analog of
+    vLLM's batched decode over ragged sequences (ref model_runner.py:676-886),
+    with a dense slot-indexed cache instead of paged blocks.
+    """
+    b = token_emb.shape[0]
+    s_max = cache["k"].shape[2]
+    batch_ids = jnp.arange(b)
+
+    # per-slot RoPE rows: (B, 1, pairs, 2)
+    freqs_b = freqs_cis[pos][:, None]
+
+    col_ids = jnp.arange(s_max)
+    mask = (col_ids[None, :] <= pos[:, None])[:, None, None, :]  # (B,1,1,S)
+
+    n_rep = cfg.n_head // cfg.kv_heads
+    h = token_emb
+
+    def rope_b(x):
+        # x: (B, 1, H, D); freqs_b broadcast over heads
+        orig = x.dtype
+        xs = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        f = freqs_b[:, :, None]                          # (B,1,1,pairs,2)
+        cos, sin = f[..., 0], f[..., 1]
+        xr, xi = xs[..., 0], xs[..., 1]
+        out = jnp.stack([xr * cos - xi * sin, xi * cos + xr * sin], axis=-1)
+        return out.reshape(x.shape).astype(orig)
+
+    def body(h, xs):
+        layer_params, k_cache_l, v_cache_l = xs
+        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
+        bsz, s, _ = hn.shape
+        kv_size = cfg.kv_heads * cfg.head_dim
+        qkv = linear(hn, layer_params["attention"]["wqkv"])
+        q, k, v = jnp.split(qkv, [cfg.dim, cfg.dim + kv_size], axis=-1)
+        q = rope_b(q.reshape(bsz, s, cfg.n_head, cfg.head_dim))
+        k = rope_b(k.reshape(bsz, s, cfg.kv_heads, cfg.head_dim))
+        v = v.reshape(bsz, s, cfg.kv_heads, cfg.head_dim)
+
+        k_w = jnp.where(active[:, None, None], k[:, 0].astype(k_cache_l.dtype),
+                        k_cache_l[batch_ids, pos])
+        v_w = jnp.where(active[:, None, None], v[:, 0].astype(v_cache_l.dtype),
+                        v_cache_l[batch_ids, pos])
+        k_cache_l = k_cache_l.at[batch_ids, pos].set(k_w)
+        v_cache_l = v_cache_l.at[batch_ids, pos].set(v_w)
+
+        attn = _attn_core(q, _repeat_kv(k_cache_l, n_rep),
+                          _repeat_kv(v_cache_l, n_rep), mask)
+        h = h + linear(attn, layer_params["attention"]["wo"])
+        h = h + _ffn(layer_params, rms_norm(h, layer_params["ffn_norm"],
+                                            cfg.norm_eps))
+        return h, (k_cache_l, v_cache_l)
+
+    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"],
+                                               cache["v"]))
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
+    return logits, {"k": k_new, "v": v_new}
+
+
+def prefill_into_slot(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
+                      slot: jnp.ndarray, cache: Params,
+                      freqs_cis: jnp.ndarray):
+    """Prefill ONE request's conditioning into batch row `slot` of the cache.
+
+    cond_emb: (1, T, dim). Returns (last_logits (1, vocab), cache).
+    """
+    t = cond_emb.shape[1]
+    freqs = freqs_cis[:t]
+    mask = make_causal_mask(t)[None, None]
+    n_rep = cfg.n_head // cfg.kv_heads
+    h = cond_emb
+
+    def body(h, xs):
+        layer_params, k_cache_l, v_cache_l = xs
+        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv(layer_params, cfg, hn, freqs)
+        k_cache_l = jax.lax.dynamic_update_slice(
+            k_cache_l, k.astype(k_cache_l.dtype), (slot, 0, 0, 0))
+        v_cache_l = jax.lax.dynamic_update_slice(
+            v_cache_l, v.astype(v_cache_l.dtype), (slot, 0, 0, 0))
+        attn = _attn_core(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep), mask)
+        h = h + linear(attn, layer_params["attention"]["wo"])
+        h = h + _ffn(layer_params, rms_norm(h, layer_params["ffn_norm"],
+                                            cfg.norm_eps))
+        return h, (k_cache_l, v_cache_l)
+
+    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"],
+                                               cache["v"]))
+    h = rms_norm(h[:, -1:], params["norm"], cfg.norm_eps)
+    logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
+    return logits, {"k": k_new, "v": v_new}

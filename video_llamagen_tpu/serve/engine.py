@@ -1,0 +1,220 @@
+"""Continuous-batching serving engine — the TPU analog of the vLLM path.
+
+Capability parity with reference autoregressive/serve/ (llm.py, llm_engine.py,
+worker.py, model_runner.py, sampler.py): request queueing, continuous batching
+with per-step admission, CFG folded into the batch as paired rows
+(sampler.py:38-60), per-request sampling params, throughput/latency stats
+(llm_engine.py:583-586 StatLogger).
+
+TPU-first architecture (SURVEY.md §7.8): instead of paged KV blocks + CUDA
+graphs, a dense slot-indexed KV cache with static shapes drives two compiled
+programs — `prefill_into_slot` (admission) and `decode_step_multi` (one step
+for every active slot, per-slot positions). The Python here is only
+bookkeeping, exactly like vLLM's scheduler; all math is jitted.
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GPTConfig
+from ..core.rope import precompute_freqs_2d
+from ..models import gpt
+from ..ops.sampling import sample_token, cfg_mix
+
+
+@dataclass
+class SamplingParams:
+    """Per-request sampling controls (ref vllm SamplingParams surface)."""
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    max_tokens: int = 256
+    cfg_scale: float = 1.0
+
+
+@dataclass
+class Request:
+    request_id: int
+    cond: np.ndarray                  # () int label for c2i, (T,D) for t2i
+    params: SamplingParams
+    emb_mask: Optional[np.ndarray] = None
+    tokens: List[int] = field(default_factory=list)
+    arrival_t: float = field(default_factory=time.monotonic)
+    first_token_t: Optional[float] = None
+    finish_t: Optional[float] = None
+
+    @property
+    def finished(self) -> bool:
+        return len(self.tokens) >= self.params.max_tokens
+
+
+class ServeEngine:
+    """Offline/online batched generation engine (ref llm.py LLM +
+    llm_engine.py LLMEngine collapsed into one TPU-friendly class)."""
+
+    def __init__(self, params, cfg: GPTConfig, max_batch: int = 8,
+                 max_seq: Optional[int] = None, dtype=None):
+        self.cfg = cfg
+        self.dtype = jnp.dtype(dtype or cfg.dtype)
+        self.model_params = gpt.cast_params(params, self.dtype)
+        self.max_batch = max_batch          # request slots; CFG uses 2 rows each
+        self.rows = 2 * max_batch           # physical batch rows
+        t_cond = cfg.cls_token_num
+        self.t_cond = t_cond
+        self.max_seq = max_seq or (t_cond + cfg.block_size)
+        self.freqs_cis = precompute_freqs_2d(cfg.grid_size, cfg.head_dim,
+                                             cfg.rope_base, t_cond)
+        self.cache = gpt.init_kv_cache(cfg, self.rows, self.max_seq, self.dtype)
+
+        self.queue: collections.deque[Request] = collections.deque()
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.pos = np.zeros(self.rows, np.int32)
+        self.rng = jax.random.key(0)
+        self._next_id = 0
+        self.stats = {"requests_done": 0, "tokens_generated": 0,
+                      "steps": 0, "t_start": time.monotonic()}
+
+        self._prefill = jax.jit(functools.partial(gpt.prefill_into_slot,
+                                                  cfg=cfg),
+                                static_argnames=())
+        self._decode = jax.jit(functools.partial(gpt.decode_step_multi,
+                                                 cfg=cfg))
+
+    # ------------------------------------------------------------- request API
+    def add_request(self, cond, params: Optional[SamplingParams] = None,
+                    emb_mask=None) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append(Request(rid, np.asarray(cond),
+                                  params or SamplingParams(),
+                                  emb_mask=emb_mask))
+        return rid
+
+    def generate(self, conds, params: Optional[SamplingParams] = None
+                 ) -> List[Request]:
+        """Offline batch entry (ref llm.py:138-267 _run_engine drain loop)."""
+        for c in conds:
+            self.add_request(c, params)
+        done: Dict[int, Request] = {}
+        while self.has_unfinished():
+            for r in self.step():
+                done[r.request_id] = r
+        return [done[i] for i in sorted(done)]
+
+    def has_unfinished(self) -> bool:
+        return bool(self.queue) or any(s is not None for s in self.slots)
+
+    # ------------------------------------------------------------------- sched
+    def _admit(self):
+        """Fill free slots from the queue; prefill their conditioning."""
+        for slot_id in range(self.max_batch):
+            if self.slots[slot_id] is not None or not self.queue:
+                continue
+            req = self.queue.popleft()
+            self.slots[slot_id] = req
+            row_c, row_u = 2 * slot_id, 2 * slot_id + 1
+            cond_j = jnp.asarray(req.cond)[None]
+            cond_emb = gpt.embed_cond(self.model_params, self.cfg, cond_j,
+                                      train=False, dtype=self.dtype)
+            logits, self.cache = self._prefill(
+                params=self.model_params, cond_emb=cond_emb,
+                slot=jnp.asarray(row_c), cache=self.cache,
+                freqs_cis=self.freqs_cis)
+            if req.params.cfg_scale > 1.0:
+                if self.cfg.model_type == "c2i":
+                    null = jnp.full_like(cond_j, self.cfg.num_classes)
+                else:
+                    un = gpt.uncond_caption_embedding(self.model_params)
+                    null = jnp.broadcast_to(un[None], cond_j.shape)
+                null_emb = gpt.embed_cond(self.model_params, self.cfg, null,
+                                          train=False, dtype=self.dtype)
+                logits_u, self.cache = self._prefill(
+                    params=self.model_params, cond_emb=null_emb,
+                    slot=jnp.asarray(row_u), cache=self.cache,
+                    freqs_cis=self.freqs_cis)
+                both = jnp.concatenate([logits, logits_u], axis=0)
+                mixed = cfg_mix(both, req.params.cfg_scale)
+            else:
+                mixed = logits
+            self.rng, r = jax.random.split(self.rng)
+            tok = int(sample_token(r, mixed, req.params.temperature,
+                                   req.params.top_k, req.params.top_p)[0])
+            req.tokens.append(tok)
+            req.first_token_t = time.monotonic()
+            self.pos[row_c] = self.t_cond
+            self.pos[row_u] = self.t_cond
+
+    def step(self) -> List[Request]:
+        """One engine iteration (ref llm_engine.py:511-581 step): admit new
+        requests, run one batched decode for all active slots, sample, retire
+        finished requests. Returns requests finished this step."""
+        self._admit()
+        active_slots = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active_slots:
+            return []
+
+        tokens = np.zeros(self.rows, np.int64)
+        active = np.zeros(self.rows, bool)
+        for i in active_slots:
+            req = self.slots[i]
+            tokens[2 * i] = req.tokens[-1]
+            tokens[2 * i + 1] = req.tokens[-1]
+            use_cfg = req.params.cfg_scale > 1.0
+            active[2 * i] = True
+            active[2 * i + 1] = use_cfg
+
+        tok_emb = self.model_params["tok_embeddings"][jnp.asarray(tokens)]
+        tok_emb = tok_emb[:, None, :].astype(self.dtype)
+        logits, self.cache = self._decode(
+            params=self.model_params, token_emb=tok_emb,
+            pos=jnp.asarray(self.pos), cache=self.cache,
+            active=jnp.asarray(active), freqs_cis=self.freqs_cis)
+        logits_np_rows = logits  # stays on device; sampled per request below
+
+        finished = []
+        for i in active_slots:
+            req = self.slots[i]
+            row_c, row_u = 2 * i, 2 * i + 1
+            lc = logits_np_rows[row_c:row_c + 1]
+            if req.params.cfg_scale > 1.0:
+                lu = logits_np_rows[row_u:row_u + 1]
+                mixed = lu + (lc - lu) * req.params.cfg_scale
+            else:
+                mixed = lc
+            self.rng, r = jax.random.split(self.rng)
+            tok = int(sample_token(r, mixed, req.params.temperature,
+                                   req.params.top_k, req.params.top_p)[0])
+            req.tokens.append(tok)
+            self.pos[row_c] += 1
+            self.pos[row_u] += 1
+            self.stats["tokens_generated"] += 1
+            if req.finished:
+                req.finish_t = time.monotonic()
+                finished.append(req)
+                self.slots[i] = None
+                self.pos[row_c] = 0
+                self.pos[row_u] = 0
+                self.stats["requests_done"] += 1
+        self.stats["steps"] += 1
+        return finished
+
+    # ------------------------------------------------------------------- stats
+    def log_stats(self) -> Dict[str, Any]:
+        """Throughput/latency snapshot (ref llm_engine.py StatLogger)."""
+        dt = time.monotonic() - self.stats["t_start"]
+        return {
+            **self.stats,
+            "elapsed_s": round(dt, 3),
+            "tokens_per_s": round(self.stats["tokens_generated"] / max(dt, 1e-9), 1),
+            "active_slots": sum(s is not None for s in self.slots),
+            "queued": len(self.queue),
+        }
