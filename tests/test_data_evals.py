@@ -1,0 +1,169 @@
+"""Data layer (masks, padding, transforms) + eval metrics tests."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from video_llamagen_tpu.data import transforms as T
+from video_llamagen_tpu.data.datasets import (
+    build_attn_mask, left_pad_t5, BatchIterator, build_dataset,
+    T2VLatentDataset)
+from video_llamagen_tpu.evals import metrics as M
+
+
+# ------------------------------------------------------------- data contracts
+
+def test_left_pad_t5_contract():
+    feat = np.ones((1, 7, 16), np.float32)
+    padded, mask = left_pad_t5(feat, max_len=10)
+    assert padded.shape == (10, 16)
+    np.testing.assert_array_equal(mask, [0, 0, 0, 1, 1, 1, 1, 1, 1, 1])
+    np.testing.assert_array_equal(padded[:3], 0)
+    np.testing.assert_array_equal(padded[3:], 1)
+
+
+def test_left_pad_t5_truncates():
+    feat = np.arange(15 * 4, dtype=np.float32).reshape(15, 4)
+    padded, mask = left_pad_t5(feat, max_len=10)
+    assert mask.sum() == 10
+    np.testing.assert_array_equal(padded, feat[:10])
+
+
+def test_build_attn_mask_matches_reference_semantics():
+    """t2v.py:156-161: causal * text-col-valid, then forced diagonal."""
+    emb_mask = np.array([0, 0, 1], np.float32)
+    m = build_attn_mask(5, emb_mask, text_len=3)[0]
+    assert m.dtype == bool
+    # row 0 (padded text): only diagonal survives
+    np.testing.assert_array_equal(m[0], [True, False, False, False, False])
+    # row 3 (first code token): cols 0,1 masked (padded text), 2,3 visible
+    np.testing.assert_array_equal(m[3], [False, False, True, True, False])
+    # causal upper triangle stays masked
+    assert not m[1, 4]
+
+
+def test_center_crop_resize_video():
+    v = np.random.RandomState(0).rand(3, 40, 60, 3).astype(np.float32)
+    out = T.center_crop_resize_video(v, 16)
+    assert out.shape == (3, 16, 16, 3)
+
+
+def test_temporal_random_crop():
+    crop = T.TemporalRandomCrop(8)
+    b, e = crop(100, np.random.RandomState(0))
+    assert e - b == 8 and 0 <= b < 100
+    idx = T.temporal_sample_indices(b, e, 5)
+    assert len(idx) == 5 and idx[0] == b and idx[-1] == e - 1
+
+
+def test_to_tensor_and_normalize():
+    v = (np.random.RandomState(0).rand(2, 4, 4, 3) * 255).astype(np.uint8)
+    t = T.normalize_video(T.to_tensor_video(v))
+    assert t.min() >= -1.0 and t.max() <= 1.0
+
+
+def test_latent_dataset_and_iterator(tmp_path):
+    lat_dir = tmp_path / "latents"
+    t5_dir = tmp_path / "t5"
+    os.makedirs(lat_dir / "vids")
+    os.makedirs(t5_dir / "vids")
+    meta = []
+    for i in range(4):
+        np.save(lat_dir / "vids" / f"v{i}.npy",
+                np.random.rand(12, 4).astype(np.float32))
+        np.save(t5_dir / "vids" / f"v{i}.npy",
+                np.random.rand(1, 5, 8).astype(np.float32))
+        meta.append({"path": f"vids/v{i}.mp4", "cap": ["hello"]})
+    meta_file = tmp_path / "meta.json"
+    meta_file.write_text(json.dumps(meta))
+
+    ds = build_dataset("t2v_latents", latent_root=str(lat_dir),
+                       video_meta_info_file=str(meta_file),
+                       t5_path=str(t5_dir), data_repeat=2)
+    assert len(ds) == 8
+    item = ds[0]
+    assert item["latents"].shape == (12, 4)
+    assert item["t5_feat"].shape == (120, 8)
+    assert item["emb_mask"].sum() == 5
+
+    it = BatchIterator(ds, batch_size=4, shard_id=0, num_shards=2)
+    batches = list(it)
+    assert len(batches) == 1
+    assert batches[0]["latents"].shape == (4, 12, 4)
+
+
+def test_batch_iterator_sharding_disjoint():
+    class Rng:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.asarray(i)}
+
+    a = [b["x"].tolist() for b in BatchIterator(Rng(), 2, shard_id=0,
+                                                num_shards=2, shuffle=False)]
+    b = [bb["x"].tolist() for bb in BatchIterator(Rng(), 2, shard_id=1,
+                                                  num_shards=2, shuffle=False)]
+    flat_a = {x for pair in a for x in pair}
+    flat_b = {x for pair in b for x in pair}
+    assert not (flat_a & flat_b)
+
+
+# ------------------------------------------------------------------- metrics
+
+def test_psnr_identical_and_noisy():
+    a = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+    p_same = np.asarray(M.psnr(jnp.asarray(a), jnp.asarray(a)))
+    assert (p_same > 80).all()
+    noisy = np.clip(a + 0.1 * np.random.RandomState(1).randn(*a.shape), 0, 1)
+    p_noisy = np.asarray(M.psnr(jnp.asarray(a), jnp.asarray(noisy.astype(np.float32))))
+    assert (p_noisy < 30).all() and (p_noisy > 10).all()
+
+
+def test_ssim_bounds():
+    a = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    s_same = np.asarray(M.ssim(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(s_same, 1.0, atol=1e-4)
+    b = np.random.RandomState(1).rand(2, 32, 32, 3).astype(np.float32)
+    s_diff = np.asarray(M.ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert (s_diff < 0.5).all()
+
+
+def test_fid_zero_for_same_distribution():
+    rs = np.random.RandomState(0)
+    feats = rs.randn(500, 8).astype(np.float64)
+    mu, sigma = M.activation_statistics(feats)
+    assert M.frechet_distance(mu, sigma, mu, sigma) < 1e-6
+    # shifted distribution -> positive FID
+    feats2 = feats + 3.0
+    mu2, sigma2 = M.activation_statistics(feats2)
+    fid = M.frechet_distance(mu, sigma, mu2, sigma2)
+    np.testing.assert_allclose(fid, 9 * 8, rtol=0.05)  # ||3||^2 per dim
+
+
+def test_inception_score_uniform_is_one():
+    probs = np.full((100, 10), 0.1)
+    np.testing.assert_allclose(M.inception_score(probs), 1.0, atol=1e-5)
+
+
+def test_precision_recall_identical():
+    rs = np.random.RandomState(0)
+    feats = rs.randn(64, 4)
+    p, r = M.manifold_precision_recall(feats, feats)
+    assert p == 1.0 and r == 1.0
+
+
+def test_video_psnr_ssim_shapes():
+    a = np.random.RandomState(0).rand(2, 3, 32, 32, 3).astype(np.float32)
+    p, s = M.video_psnr_ssim(jnp.asarray(a), jnp.asarray(a))
+    assert p.shape == (2,) and s.shape == (2,)
+
+
+def test_npz_format(tmp_path):
+    samples = (np.random.RandomState(0).rand(4, 8, 8, 3) * 255).astype(np.uint8)
+    path = M.create_npz_from_samples(samples, str(tmp_path / "s.npz"))
+    loaded = np.load(path)
+    np.testing.assert_array_equal(loaded["arr_0"], samples)

@@ -1,0 +1,67 @@
+"""Native C++ dataloader: build presence, correctness vs numpy, fallback."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from video_llamagen_tpu.data.native_loader import (
+    NativeNpyLoader, native_available)
+
+NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    if not native_available():
+        subprocess.run(["make"], cwd=NATIVE_DIR, check=False,
+                       capture_output=True)
+
+
+def _write_files(tmp_path, n, shape=(6, 4), dtype=np.float32):
+    paths = []
+    for i in range(n):
+        a = (np.random.RandomState(i).rand(*shape) * 10).astype(dtype)
+        p = str(tmp_path / f"s{i}.npy")
+        np.save(p, a)
+        paths.append(p)
+    return paths
+
+
+def test_native_loader_matches_numpy(tmp_path):
+    if not native_available():
+        pytest.skip("native lib not built")
+    paths = _write_files(tmp_path, 8)
+    batches = list(NativeNpyLoader(paths, batch_size=4, n_threads=2))
+    assert sum(b.shape[0] for b in batches) == 8
+    # contents must match np.load for each file (order within batch preserved)
+    all_rows = np.concatenate([b for b in batches])
+    want = np.stack([np.load(p) for p in paths])
+    # batches may arrive in any order; compare as sets of rows
+    got_sorted = all_rows[np.lexsort(all_rows.reshape(8, -1).T)]
+    want_sorted = want[np.lexsort(want.reshape(8, -1).T)]
+    np.testing.assert_allclose(got_sorted, want_sorted)
+
+
+def test_native_loader_int_and_u8(tmp_path):
+    if not native_available():
+        pytest.skip("native lib not built")
+    p_i = str(tmp_path / "i.npy")
+    np.save(p_i, np.arange(12, dtype=np.int32).reshape(3, 4))
+    batches = list(NativeNpyLoader([p_i], batch_size=1))
+    np.testing.assert_allclose(batches[0][0], np.arange(12).reshape(3, 4))
+
+    p_u = str(tmp_path / "u.npy")
+    np.save(p_u, np.full((2, 2), 255, np.uint8))
+    batches = list(NativeNpyLoader([p_u], batch_size=1))
+    np.testing.assert_allclose(batches[0][0], 1.0)
+
+
+def test_python_fallback(tmp_path, monkeypatch):
+    paths = _write_files(tmp_path, 4, shape=(2, 3))
+    loader = NativeNpyLoader(paths, batch_size=2)
+    loader._lib = None  # force fallback
+    batches = list(loader)
+    assert len(batches) == 2
+    np.testing.assert_allclose(batches[0][0], np.load(paths[0]))

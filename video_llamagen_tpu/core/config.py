@@ -103,8 +103,10 @@ class GPTConfig:
         return dataclasses.replace(self, **kw)
 
 
-# Model zoo — sizes match reference gpt.py:441-470 exactly.
+# Model zoo — sizes match reference gpt.py:441-470 exactly; GPT-nano is an
+# addition for CPU smoke tests and CI.
 GPT_CONFIGS = {
+    "GPT-nano": dict(n_layer=2, n_head=4, dim=128),
     "GPT-B":    dict(n_layer=12, n_head=12, dim=768),     # 111M
     "GPT-L":    dict(n_layer=24, n_head=16, dim=1024),    # 343M
     "GPT-XL":   dict(n_layer=36, n_head=20, dim=1280),    # 775M

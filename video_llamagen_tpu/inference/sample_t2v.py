@@ -1,0 +1,118 @@
+"""t2v sampling CLI: T5 features + video GPT + CausalVAE decode -> video.
+
+The working version of the reference's broken entry point
+(sample/sample_t2v_1f.py imports a `generate_video` module that does not
+exist; sample_t2v_1f_diff.py works only for the diffusion head). Supports all
+three heads: --sampler ar (diff head), ar_mse (MSE head), maskgit (mask_diff).
+
+Output: .npy latents and, when a VAE checkpoint is given, decoded frames as
+.npy / .mp4 (mp4 requires imageio).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import CausalVAEConfig, gpt_config
+from ..data.datasets import left_pad_t5
+from ..models import gpt_video
+from ..tokenizers.causal_vae import model as cvae
+from . import generate_video as gen
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--gpt-model", default="GPT-B")
+    p.add_argument("--gpt-ckpt", default=None)
+    p.add_argument("--vae-ckpt", default=None)
+    p.add_argument("--sampler", default="ar", choices=["ar", "ar_mse", "maskgit"])
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--downsample-size", type=int, default=8)
+    p.add_argument("--num-frames", type=int, default=17)
+    p.add_argument("--t-downsample-size", type=int, default=4)
+    p.add_argument("--vae-embed-dim", type=int, default=4)
+    p.add_argument("--cls-token-num", type=int, default=120)
+    p.add_argument("--caption-dim", type=int, default=2048)
+    p.add_argument("--cfg-scale", type=float, default=4.0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--num-iter", type=int, default=64, help="maskgit steps")
+    p.add_argument("--num-sampling-steps", default="100")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--t5-feature-files", nargs="+", default=None)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--out", default="sample_t2v")
+    args = p.parse_args(argv)
+
+    latent = args.image_size // args.downsample_size
+    head = {"ar": "diff", "ar_mse": "mse", "maskgit": "mask_diff"}[args.sampler]
+    cfg = gpt_config(args.gpt_model, vocab_size=16384, block_size=latent ** 2,
+                     cls_token_num=args.cls_token_num,
+                     caption_dim=args.caption_dim, model_type="t2v",
+                     vae_embed_dim=args.vae_embed_dim,
+                     num_frames=args.num_frames,
+                     t_downsample_size=args.t_downsample_size,
+                     num_sampling_steps=args.num_sampling_steps,
+                     video_head=head)
+
+    if args.t5_feature_files:
+        feats = [left_pad_t5(np.load(f), args.cls_token_num)[0]
+                 for f in args.t5_feature_files]
+        cond = jnp.asarray(np.stack(feats))
+    else:
+        print("WARNING: random caption features (smoke mode)")
+        cond = jax.random.normal(jax.random.key(args.seed + 2),
+                                 (args.batch, args.cls_token_num,
+                                  args.caption_dim))
+
+    if args.gpt_ckpt:
+        raise NotImplementedError(
+            "t2v torch-ckpt import: use core.torch_import with a video "
+            "param mapping (reference published no t2v weights)")
+    params = gpt_video.init_video_gpt_params(jax.random.key(args.seed), cfg)
+    print("WARNING: random video GPT weights (smoke mode)")
+
+    rng = jax.random.key(args.seed)
+    if args.sampler == "ar":
+        latents = gen.generate_ar(params, cfg, cond, rng,
+                                  cfg_scale=args.cfg_scale,
+                                  temperature=args.temperature)
+    elif args.sampler == "ar_mse":
+        latents = gen.generate_ar_mse(params, cfg, cond)
+    else:
+        latents = gen.generate_maskgit(params, cfg, cond, rng,
+                                       num_iter=args.num_iter,
+                                       cfg_scale=args.cfg_scale,
+                                       temperature=args.temperature)
+    latents = np.asarray(latents)
+    np.save(f"{args.out}_latents.npy", latents)
+    print(f"latents {latents.shape} -> {args.out}_latents.npy")
+
+    # decode through the CausalVAE: (B, t*h*w, C) -> (B, t, h, w, C) -> video
+    vcfg = CausalVAEConfig(embed_dim=args.vae_embed_dim)
+    if args.vae_ckpt:
+        raise NotImplementedError("CausalVAE torch import shim pending")
+    vae_params = cvae.init_causal_vae_params(jax.random.key(args.seed + 1), vcfg)
+    print("WARNING: random VAE weights (smoke mode)")
+    b = latents.shape[0]
+    vae_t = cfg.vae_t
+    z = latents.reshape(b, vae_t, latent, latent, args.vae_embed_dim)
+    frames = np.asarray(cvae.decode(vae_params, vcfg, jnp.asarray(z)))
+    frames01 = np.clip((frames + 1) / 2, 0, 1)
+    np.save(f"{args.out}_frames.npy", frames01)
+    print(f"frames {frames01.shape} -> {args.out}_frames.npy")
+    try:
+        import imageio
+        for i in range(b):
+            u8 = (frames01[i] * 255).astype(np.uint8)
+            imageio.mimwrite(f"{args.out}_{i}.mp4", u8, fps=8)
+        print(f"wrote {b} mp4 file(s)")
+    except ImportError:
+        print("imageio not available; skipped mp4 export")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,10 +59,11 @@ def drop_path(rng: Optional[jax.Array], x: jnp.ndarray, rate,
     """
     if deterministic or rng is None:
         return x
-    keep = 1.0 - rate
+    keep = jnp.asarray(1.0 - rate, jnp.float32)
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    # divide in the activation dtype: a traced f32 rate must not upcast bf16
+    return jnp.where(mask, x * (1.0 / keep).astype(x.dtype), jnp.zeros_like(x))
 
 
 def layer_norm(x: jnp.ndarray, weight: Optional[jnp.ndarray] = None,
