@@ -167,3 +167,16 @@ def test_npz_format(tmp_path):
     path = M.create_npz_from_samples(samples, str(tmp_path / "s.npz"))
     loaded = np.load(path)
     np.testing.assert_array_equal(loaded["arr_0"], samples)
+
+
+def test_fvd_math():
+    from video_llamagen_tpu.evals.fvd import fvd_from_features, preprocess_videos
+    rs = np.random.RandomState(0)
+    real = rs.randn(200, 16)
+    assert fvd_from_features(real, real + 0.0) < 1e-6
+    fake = real + 2.0
+    np.testing.assert_allclose(fvd_from_features(real, fake), 4 * 16, rtol=0.05)
+    v = rs.rand(1, 3, 32, 32, 3)
+    out = preprocess_videos(v, target=8)
+    assert out.shape == (1, 3, 8, 8, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0

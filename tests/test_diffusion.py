@@ -136,3 +136,18 @@ def test_timestep_embedding_matches_reference(reference_path):
     want = TimestepEmbedder.timestep_embedding(torch.from_numpy(t), 64).numpy()
     got = np.asarray(timestep_embedding(jnp.asarray(t), 64))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ddim_sample_loop_shapes():
+    diff = gd.create_diffusion("4", "cosine")
+
+    def model_fn(x, t_orig):
+        return jnp.concatenate([jnp.zeros_like(x), jnp.zeros_like(x)], axis=-1)
+
+    noise = jax.random.normal(jax.random.key(0), (3, 5))
+    out = diff.ddim_sample_loop(model_fn, noise, jax.random.key(1))
+    assert out.shape == (3, 5)
+    assert np.isfinite(np.asarray(out)).all()
+    # eta=0 is deterministic: same noise, different rng -> same output
+    out2 = diff.ddim_sample_loop(model_fn, noise, jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)

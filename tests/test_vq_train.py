@@ -64,3 +64,11 @@ def test_vq_gan_iteration_runs():
     state, metrics = train_vq.train_iteration(state, images, gen_jit, disc_jit)
     assert int(state.step) == 2
     assert np.isfinite(float(metrics["disc"]))
+
+
+def test_stylegan_disc_shapes():
+    p = vql.init_stylegan_disc_params(jax.random.key(0), image_size=64)
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 3))
+    out = vql.stylegan_disc_forward(p, x)
+    assert out.shape == (2, 1)
+    assert np.isfinite(np.asarray(out)).all()

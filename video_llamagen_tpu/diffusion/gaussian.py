@@ -250,6 +250,48 @@ class GaussianDiffusion:
         return x
 
 
+    def ddim_sample_loop(self, model_fn: Callable, noise: jnp.ndarray,
+                         rng: jax.Array, eta: float = 0.0,
+                         clip_denoised: bool = False) -> jnp.ndarray:
+        """DDIM sampling over the respaced ladder (ref gaussian_diffusion.py
+        ddim_sample/ddim_sample_loop), eta=0 deterministic."""
+        n_steps = self.num_timesteps
+        tmap = jnp.asarray(self.timestep_map)
+        acp = jnp.asarray(self.alphas_cumprod)
+        acp_prev = jnp.asarray(self.alphas_cumprod_prev)
+
+        def step(carry, i):
+            x, rng = carry
+            t_idx = n_steps - 1 - i
+            t = jnp.full((x.shape[0],), t_idx, jnp.int32)
+            model_out = model_fn(x, tmap[t])
+            c = x.shape[-1]
+            eps, _ = jnp.split(model_out, [c], axis=-1)
+            x0 = self.predict_xstart_from_eps(x, t, eps)
+            if clip_denoised:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+            # re-derive eps from (possibly clipped) x0
+            eps = ((_extract(jnp.asarray(self.sqrt_recip_alphas_cumprod), t,
+                             x.ndim) * x - x0)
+                   / _extract(jnp.asarray(self.sqrt_recipm1_alphas_cumprod), t,
+                              x.ndim))
+            a_bar = _extract(acp, t, x.ndim)
+            a_bar_prev = _extract(acp_prev, t, x.ndim)
+            sigma = (eta * jnp.sqrt((1 - a_bar_prev) / (1 - a_bar))
+                     * jnp.sqrt(1 - a_bar / a_bar_prev))
+            rng, r = jax.random.split(rng)
+            z = jax.random.normal(r, x.shape, x.dtype)
+            mean = (jnp.sqrt(a_bar_prev) * x0
+                    + jnp.sqrt(jnp.maximum(1 - a_bar_prev - sigma ** 2, 0.0))
+                    * eps)
+            nonzero = (t_idx != 0)
+            x = mean + nonzero * sigma * z
+            return (x, rng), None
+
+        (x, _), _ = jax.lax.scan(step, (noise, rng), jnp.arange(n_steps))
+        return x
+
+
 def create_diffusion(timestep_respacing: Union[str, Sequence[int], None] = "",
                      noise_schedule: str = "linear",
                      diffusion_steps: int = 1000) -> GaussianDiffusion:

@@ -106,6 +106,80 @@ def patchgan_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# StyleGAN discriminator (ref discriminator_stylegan.py:13-100)
+# ---------------------------------------------------------------------------
+
+_SG_CHANNELS = {4: 512, 8: 512, 16: 512, 32: 512, 64: 256, 128: 128,
+                256: 64, 512: 32, 1024: 16}
+
+
+def init_stylegan_disc_params(rng: jax.Array, input_nc: int = 3,
+                              image_size: int = 256,
+                              channel_multiplier: int = 1) -> Params:
+    import math
+    ch = {k: (v * channel_multiplier if k >= 64 else v)
+          for k, v in _SG_CHANNELS.items()}
+    log_size = int(math.log2(image_size))
+    r = iter(jax.random.split(rng, 4 + 3 * log_size))
+    cin = ch[image_size]
+    p: Params = {"conv_in": init_conv(next(r), (3, 3, input_nc, cin)),
+                 "blocks": []}
+    for i in range(log_size, 2, -1):
+        cout = ch[2 ** (i - 1)]
+        p["blocks"].append({
+            "conv_res": init_conv(next(r), (1, 1, cin, cout)),
+            "conv1": init_conv(next(r), (3, 3, cin, cout)),
+            "conv2": init_conv(next(r), (3, 3, cout, cout)),
+            "down": init_conv(next(r), (3, 3, cout, cout)),
+        })
+        cin = cout
+    p["final_conv"] = init_conv(next(r), (3, 3, cin, ch[4]))
+    fan = ch[4] * 16
+    k1 = jax.random.normal(next(r), (fan, ch[4])) / np.sqrt(fan)
+    k2 = jax.random.normal(next(r), (ch[4], 1)) / np.sqrt(ch[4])
+    p["fc1"] = {"w": k1.astype(jnp.float32),
+                "b": jnp.zeros((ch[4],), jnp.float32)}
+    p["fc2"] = {"w": k2.astype(jnp.float32), "b": jnp.zeros((1,), jnp.float32)}
+    return p
+
+
+def _blur(x: jnp.ndarray) -> jnp.ndarray:
+    """Normalized [1,2,1]x[1,2,1] depthwise blur (ref Blur via kornia)."""
+    f = jnp.asarray([1.0, 2.0, 1.0])
+    k = (f[:, None] * f[None, :])
+    k = (k / k.sum()).astype(x.dtype)
+    c = x.shape[-1]
+    kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+
+def stylegan_disc_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x (B, H, W, C) -> logits (B, 1)."""
+    import math
+
+    def conv(x, cp, stride=1, padding="SAME"):
+        out = jax.lax.conv_general_dilated(
+            x, cp["kernel"].astype(x.dtype), (stride, stride), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + cp["bias"].astype(x.dtype)
+
+    lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+    h = lrelu(conv(x, p["conv_in"]))
+    for blk in p["blocks"]:
+        res = conv(h, blk["conv_res"], stride=2)
+        h = lrelu(conv(h, blk["conv1"]))
+        h = lrelu(conv(h, blk["conv2"]))
+        h = conv(_blur(h), blk["down"], stride=2)
+        h = (h + res) * (1 / math.sqrt(2))
+    h = lrelu(conv(h, p["final_conv"]))
+    h = h.reshape(h.shape[0], -1)
+    h = lrelu(h @ p["fc1"]["w"].astype(h.dtype) + p["fc1"]["b"].astype(h.dtype))
+    return h @ p["fc2"]["w"].astype(h.dtype) + p["fc2"]["b"].astype(h.dtype)
+
+
+# ---------------------------------------------------------------------------
 # LPIPS (VGG16 feature distance; ref lpips.py)
 # ---------------------------------------------------------------------------
 
