@@ -180,3 +180,29 @@ def test_fvd_math():
     out = preprocess_videos(v, target=8)
     assert out.shape == (1, 3, 8, 8, 3)
     assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_extract_codes_batch():
+    import jax
+    from video_llamagen_tpu.core.config import VQConfig
+    from video_llamagen_tpu.tokenizers.vq import model as vq
+    from video_llamagen_tpu.train.extract_codes import extract_batch
+    cfg = VQConfig(ch=8, z_channels=8, codebook_size=16, codebook_embed_dim=4,
+                   encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2),
+                   num_res_blocks=1, dtype="float32")
+    params = vq.init_vq_params(jax.random.key(0), cfg)
+    imgs = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+    codes = extract_batch(params, cfg, imgs)
+    assert codes.shape == (2, 2, 64)  # (B, n_aug, 8*8)
+    assert codes.dtype == np.int32 or codes.dtype == np.int64
+
+
+def test_load_video_set(tmp_path):
+    from video_llamagen_tpu.evals.eval_common_metric import load_video_set
+    for i in range(2):
+        np.save(tmp_path / f"c{i}.npy",
+                (np.random.RandomState(i).rand(3, 8, 8, 3) * 255)
+                .astype(np.float32))
+    vids = load_video_set(str(tmp_path))
+    assert vids.shape == (2, 3, 8, 8, 3)
+    assert vids.max() <= 1.0

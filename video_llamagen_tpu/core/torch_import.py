@@ -182,3 +182,114 @@ def load_vq_checkpoint(path: str, cfg: VQConfig) -> Dict[str, Any]:
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     return import_vq_state_dict(ckpt, cfg)
+
+
+# ---------------------------------------------------------------------------
+# CausalVideoVAE
+# ---------------------------------------------------------------------------
+
+def _conv3d(sd, name_prefix) -> Dict[str, np.ndarray]:
+    """torch Conv3d OIDHW -> DHWIO."""
+    w = _np(sd[name_prefix + ".weight"]).transpose(2, 3, 4, 1, 0).astype(np.float32)
+    b = _np(sd[name_prefix + ".bias"]).astype(np.float32)
+    return {"kernel": w, "bias": b}
+
+
+def _cconv(sd, prefix) -> Dict[str, np.ndarray]:
+    """Reference CausalConv3d wraps an inner nn.Conv3d at '<prefix>.conv'."""
+    return _conv3d(sd, prefix + ".conv")
+
+
+def _res3d(sd, prefix) -> Dict[str, Any]:
+    p = {
+        "norm1": _gn(sd, prefix + ".norm1.norm")
+        if prefix + ".norm1.norm.weight" in sd else _gn(sd, prefix + ".norm1"),
+        "conv1": _cconv(sd, prefix + ".conv1"),
+        "norm2": _gn(sd, prefix + ".norm2.norm")
+        if prefix + ".norm2.norm.weight" in sd else _gn(sd, prefix + ".norm2"),
+        "conv2": _cconv(sd, prefix + ".conv2"),
+    }
+    if prefix + ".nin_shortcut.conv.weight" in sd:
+        p["nin_shortcut"] = _cconv(sd, prefix + ".nin_shortcut")
+    return p
+
+
+def _attn3d(sd, prefix) -> Dict[str, Any]:
+    norm_key = (prefix + ".norm.norm") if prefix + ".norm.norm.weight" in sd \
+        else (prefix + ".norm")
+    return {"norm": _gn(sd, norm_key),
+            "q": _cconv(sd, prefix + ".q"), "k": _cconv(sd, prefix + ".k"),
+            "v": _cconv(sd, prefix + ".v"),
+            "proj_out": _cconv(sd, prefix + ".proj_out")}
+
+
+def import_causal_vae_state_dict(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Reference CausalVAEModel state dict -> our pytree (default topology:
+    modeling_causalvae.py:265-320 — down.{i}.block/downsample/time_downsample,
+    up.{i}.block/upsample/time_upsample, mid.block_1/attn_1/block_2)."""
+    sd = unwrap_state_dict(sd)
+    n_levels = len(cfg.ch_mult)
+    sdl = tuple(range(n_levels - 1))
+
+    enc: Dict[str, Any] = {"conv_in": _cconv(sd, "encoder.conv_in")}
+    levels = []
+    for i in range(n_levels):
+        level: Dict[str, Any] = {"res": []}
+        for j in range(cfg.num_res_blocks):
+            level["res"].append(_res3d(sd, f"encoder.down.{i}.block.{j}"))
+        if i in sdl:
+            level["downsample"] = _cconv(sd, f"encoder.down.{i}.downsample.conv")
+        levels.append(level)
+    enc["levels"] = levels
+    enc["mid"] = {"res1": _res3d(sd, "encoder.mid.block_1"),
+                  "attn": _attn3d(sd, "encoder.mid.attn_1"),
+                  "res2": _res3d(sd, "encoder.mid.block_2")}
+    norm_out_key = "encoder.norm_out.norm" \
+        if "encoder.norm_out.norm.weight" in sd else "encoder.norm_out"
+    enc["norm_out"] = _gn(sd, norm_out_key)
+    enc["conv_out"] = _cconv(sd, "encoder.conv_out")
+
+    dec: Dict[str, Any] = {"conv_in": _cconv(sd, "decoder.conv_in")}
+    dec["mid"] = {"res1": _res3d(sd, "decoder.mid.block_1"),
+                  "attn": _attn3d(sd, "decoder.mid.attn_1"),
+                  "res2": _res3d(sd, "decoder.mid.block_2")}
+    dlevels, ids = [], []
+    for i_level in reversed(range(n_levels)):
+        level = {"res": [_res3d(sd, f"decoder.up.{i_level}.block.{j}")
+                         for j in range(cfg.num_res_blocks + 1)]}
+        if i_level != 0:
+            level["upsample"] = _cconv(sd, f"decoder.up.{i_level}.upsample.conv")
+        dlevels.append(level)
+        ids.append(i_level)
+    dec["levels"] = dlevels
+    dec["level_ids"] = tuple(ids)
+    dnorm_key = "decoder.norm_out.norm" \
+        if "decoder.norm_out.norm.weight" in sd else "decoder.norm_out"
+    dec["norm_out"] = _gn(sd, dnorm_key)
+    dec["conv_out"] = _cconv(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _cconv(sd, "quant_conv"),
+        "post_quant_conv": _cconv(sd, "post_quant_conv"),
+    }
+
+
+def inflate_2d_to_3d(kernel2d: np.ndarray, kt: int = 3,
+                     mode: str = "tail") -> np.ndarray:
+    """Inflate a 2D conv kernel (H, W, I, O) to causal 3D (kt, H, W, I, O).
+
+    Reference CausalVideoVAE/scripts/convert_weight.py seeds the 3D VAE from
+    a 2D SD-VAE: the 2D kernel goes into the LAST temporal slice (so frame t
+    initially only uses frame t — identity temporal behavior with causal
+    padding); earlier slices start at zero.
+    """
+    out = np.zeros((kt,) + kernel2d.shape, kernel2d.dtype)
+    if mode == "tail":
+        out[-1] = kernel2d
+    elif mode == "center":
+        out[kt // 2] = kernel2d
+    else:  # "average"
+        out[:] = kernel2d[None] / kt
+    return out

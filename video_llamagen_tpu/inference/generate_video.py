@@ -107,37 +107,38 @@ def generate_ar(params, cfg: GPTConfig, cond_embed: jnp.ndarray,
 
 
 def _decode_step_trunk(params, cfg: GPTConfig, tok_emb, pos, cache, freqs_cis):
-    """One cached trunk step returning the normed hidden (B, dim), not logits."""
+    """One cached trunk step returning the normed hidden (B, dim), not logits.
+
+    Same unrolled per-layer-buffer structure as gpt.decode_step (measured ~4x
+    faster than a scan-carried stacked cache on TPU).
+    """
     from ..ops.nn import rms_norm, linear
-    b = tok_emb.shape[0]
-    s_max = cache["k"].shape[2]
-    col_ids = jnp.arange(s_max)
-    mask = (col_ids[None, :] <= pos)[:, None, None, :]
-    mask = jnp.broadcast_to(mask, (b, 1, 1, s_max))
+    s_max = gpt.cache_seq_len(cache)
+    mask = (jnp.arange(s_max)[None, :] <= pos)[None, None]   # (1,1,1,S)
 
     freqs = jax.lax.dynamic_slice_in_dim(freqs_cis, pos, 1, axis=0)
     n_rep = cfg.n_head // cfg.kv_heads
     h = tok_emb
 
-    def body(h, xs):
-        layer_params, k_cache_l, v_cache_l = xs
-        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
-        q, k, v = gpt._qkv(layer_params, cfg, hn, freqs)
-        k_cache_l = jax.lax.dynamic_update_slice(
-            k_cache_l, k.astype(k_cache_l.dtype), (0, pos, 0, 0))
-        v_cache_l = jax.lax.dynamic_update_slice(
-            v_cache_l, v.astype(v_cache_l.dtype), (0, pos, 0, 0))
-        attn = gpt._attn_core(q, gpt._repeat_kv(k_cache_l, n_rep),
-                              gpt._repeat_kv(v_cache_l, n_rep), mask)
-        h = h + linear(attn, layer_params["attention"]["wo"])
-        h = h + gpt._ffn(layer_params,
-                         rms_norm(h, layer_params["ffn_norm"], cfg.norm_eps))
-        return h, (k_cache_l, v_cache_l)
+    new_cache = []
+    for i in range(cfg.n_layer):
+        lp = gpt._layer_params(params, i)
+        ck, cv = cache[i]["k"], cache[i]["v"]
+        hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = gpt._qkv(lp, cfg, hn, freqs)
+        k_row = jnp.transpose(k, (0, 2, 1, 3))
+        v_row = jnp.transpose(v, (0, 2, 1, 3))
+        ck = jax.lax.dynamic_update_slice(ck, k_row.astype(ck.dtype),
+                                          (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_row.astype(cv.dtype),
+                                          (0, 0, pos, 0))
+        attn = gpt._decode_attn(q, ck, cv, mask, n_rep)
+        h = h + linear(attn, lp["attention"]["wo"])
+        h = h + gpt._ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
+        new_cache.append({"k": ck, "v": cv})
 
-    h, (k_new, v_new) = jax.lax.scan(body, h,
-                                     (params["layers"], cache["k"], cache["v"]))
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    return h[:, 0], {"k": k_new, "v": v_new}
+    return h[:, 0], new_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_new_tokens"))

@@ -306,13 +306,50 @@ def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 # KV-cached decode (used by inference/generate.py)
 # ---------------------------------------------------------------------------
 
-def init_kv_cache(cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -> Params:
-    shape = (cfg.n_layer, batch, max_seq, cfg.kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+def init_kv_cache(cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
+    """Per-layer SEPARATE cache buffers in (B, KH, S, D) layout.
+
+    Design note (measured on TPU): a stacked (L, ...) cache moved through
+    lax.scan xs/ys is fully copied every step (~4x step time for GPT-L);
+    per-layer buffers updated in place inside an unrolled layer loop run at
+    the weight-streaming floor. (B, KH, S, D) makes q·K a contiguous batched
+    matmul over D with no transpose.
+    """
+    shape = (batch, cfg.kv_heads, max_seq, cfg.head_dim)
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(cfg.n_layer)]
+
+
+def cache_seq_len(cache) -> int:
+    return cache[0]["k"].shape[2]
+
+
+def _layer_params(params: Params, i: int) -> Params:
+    """Static-index slice of the stacked layer pytree (free: feeds consumers
+    directly as an offset view)."""
+    return jax.tree_util.tree_map(lambda x: x[i], params["layers"])
+
+
+def _decode_attn(q, ck, cv, mask, n_rep: int):
+    """q (B,1,H,D) against cache (B,KH,S,D); mask (..,1,1|B,S) bool.
+
+    Natural-layout batched matvec: contraction over D reads K contiguously.
+    """
+    b, _, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    qh = jnp.transpose(q, (0, 2, 1, 3))                       # (B,H,1,D)
+    if n_rep > 1:
+        ck = jnp.repeat(ck, n_rep, axis=1)
+        cv = jnp.repeat(cv, n_rep, axis=1)
+    scores = jnp.einsum("bhqd,bhsd->bhqs", qh, ck).astype(jnp.float32) * scale
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.einsum("bhqs,bhsd->bhqd", probs.astype(cv.dtype), cv)
+    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
 
 
 def prefill_forward(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
-                    cache: Params, prefill_mask: Optional[jnp.ndarray],
+                    cache, prefill_mask: Optional[jnp.ndarray],
                     freqs_cis: jnp.ndarray):
     """Run the conditioning prefix, filling cache positions [0, T).
 
@@ -327,30 +364,34 @@ def prefill_forward(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
     h = cond_emb
     n_rep = cfg.n_head // cfg.kv_heads
 
-    def body(h, xs):
-        layer_params, k_cache_l, v_cache_l = xs
-        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
-        q, k, v = _qkv(layer_params, cfg, hn, freqs)
-        k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k.astype(k_cache_l.dtype),
-                                                 (0, 0, 0, 0))
-        v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v.astype(v_cache_l.dtype),
-                                                 (0, 0, 0, 0))
-        attn = _attn_core(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep), prefill_mask)
-        h = h + linear(attn, layer_params["attention"]["wo"])
-        h = h + _ffn(layer_params, rms_norm(h, layer_params["ffn_norm"], cfg.norm_eps))
-        return h, (k_cache_l, v_cache_l)
+    new_cache = []
+    for i in range(cfg.n_layer):
+        lp = _layer_params(params, i)
+        ck, cv = cache[i]["k"], cache[i]["v"]
+        hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv(lp, cfg, hn, freqs)
+        k_r = jnp.transpose(k, (0, 2, 1, 3))                  # (B,KH,T,D)
+        v_r = jnp.transpose(v, (0, 2, 1, 3))
+        ck = jax.lax.dynamic_update_slice(ck, k_r.astype(ck.dtype),
+                                          (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_r.astype(cv.dtype),
+                                          (0, 0, 0, 0))
+        attn = _attn_core(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep),
+                          prefill_mask)
+        h = h + linear(attn, lp["attention"]["wo"])
+        h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
+        new_cache.append({"k": ck, "v": cv})
 
-    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
     h = rms_norm(h[:, -1:], params["norm"], cfg.norm_eps)
     logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
-    return logits, {"k": k_new, "v": v_new}
+    return logits, new_cache
 
 
 def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
-                pos: jnp.ndarray, cache: Params,
+                pos: jnp.ndarray, cache,
                 col_valid: Optional[jnp.ndarray],
                 freqs_cis: jnp.ndarray):
-    """One cached decode step — the hot loop body, designed to live in lax.scan.
+    """One cached decode step — the hot loop body (unrolled over layers).
 
     token_emb: (B, 1, dim); pos: scalar int32 (absolute position);
     col_valid: optional bool (B, S_max) marking valid attention columns
@@ -358,43 +399,44 @@ def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
     Returns (logits (B, vocab), cache).
     """
     b = token_emb.shape[0]
-    s_max = cache["k"].shape[2]
+    s_max = cache_seq_len(cache)
     freqs = jax.lax.dynamic_slice_in_dim(freqs_cis, pos, 1, axis=0)
 
-    # attention column mask: j <= pos AND col_valid[j]
     col_ids = jnp.arange(s_max)
     causal_cols = col_ids[None, :] <= pos          # (1, S)
     if col_valid is not None:
-        cols = causal_cols & col_valid
+        cols = causal_cols & col_valid             # (B, S)
+        mask = cols[:, None, None, :]
     else:
-        cols = jnp.broadcast_to(causal_cols, (b, s_max))
-    mask = cols[:, None, None, :]                   # (B,1,1,S)
+        mask = causal_cols[None, None]             # (1,1,1,S)
 
     n_rep = cfg.n_head // cfg.kv_heads
     h = token_emb
 
-    def body(h, xs):
-        layer_params, k_cache_l, v_cache_l = xs
-        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
-        q, k, v = _qkv(layer_params, cfg, hn, freqs)
-        k_cache_l = jax.lax.dynamic_update_slice(
-            k_cache_l, k.astype(k_cache_l.dtype), (0, pos, 0, 0))
-        v_cache_l = jax.lax.dynamic_update_slice(
-            v_cache_l, v.astype(v_cache_l.dtype), (0, pos, 0, 0))
-        attn = _attn_core(q, _repeat_kv(k_cache_l, n_rep),
-                          _repeat_kv(v_cache_l, n_rep), mask)
-        h = h + linear(attn, layer_params["attention"]["wo"])
-        h = h + _ffn(layer_params, rms_norm(h, layer_params["ffn_norm"], cfg.norm_eps))
-        return h, (k_cache_l, v_cache_l)
+    new_cache = []
+    for i in range(cfg.n_layer):
+        lp = _layer_params(params, i)
+        ck, cv = cache[i]["k"], cache[i]["v"]
+        hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv(lp, cfg, hn, freqs)
+        k_row = jnp.transpose(k, (0, 2, 1, 3))     # (B,KH,1,D)
+        v_row = jnp.transpose(v, (0, 2, 1, 3))
+        ck = jax.lax.dynamic_update_slice(ck, k_row.astype(ck.dtype),
+                                          (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_row.astype(cv.dtype),
+                                          (0, 0, pos, 0))
+        attn = _decode_attn(q, ck, cv, mask, n_rep)
+        h = h + linear(attn, lp["attention"]["wo"])
+        h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
+        new_cache.append({"k": ck, "v": cv})
 
-    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
-    return logits, {"k": k_new, "v": v_new}
+    return logits, new_cache
 
 
 def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
-                      pos: jnp.ndarray, cache: Params, active: jnp.ndarray,
+                      pos: jnp.ndarray, cache, active: jnp.ndarray,
                       freqs_cis: jnp.ndarray):
     """Continuous-batching decode: PER-SLOT positions (serving hot loop).
 
@@ -405,7 +447,7 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
     with a dense slot-indexed cache instead of paged blocks.
     """
     b = token_emb.shape[0]
-    s_max = cache["k"].shape[2]
+    s_max = cache_seq_len(cache)
     batch_ids = jnp.arange(b)
 
     # per-slot RoPE rows: (B, 1, pairs, 2)
@@ -427,40 +469,39 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
         out = jnp.stack([xr * cos - xi * sin, xi * cos + xr * sin], axis=-1)
         return out.reshape(x.shape).astype(orig)
 
-    def body(h, xs):
-        layer_params, k_cache_l, v_cache_l = xs
-        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
+    new_cache = []
+    for i in range(cfg.n_layer):
+        lp = _layer_params(params, i)
+        ck, cv = cache[i]["k"], cache[i]["v"]
+        hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
         bsz, s, _ = hn.shape
         kv_size = cfg.kv_heads * cfg.head_dim
-        qkv = linear(hn, layer_params["attention"]["wqkv"])
+        qkv = linear(hn, lp["attention"]["wqkv"])
         q, k, v = jnp.split(qkv, [cfg.dim, cfg.dim + kv_size], axis=-1)
         q = rope_b(q.reshape(bsz, s, cfg.n_head, cfg.head_dim))
         k = rope_b(k.reshape(bsz, s, cfg.kv_heads, cfg.head_dim))
         v = v.reshape(bsz, s, cfg.kv_heads, cfg.head_dim)
 
-        k_w = jnp.where(active[:, None, None], k[:, 0].astype(k_cache_l.dtype),
-                        k_cache_l[batch_ids, pos])
-        v_w = jnp.where(active[:, None, None], v[:, 0].astype(v_cache_l.dtype),
-                        v_cache_l[batch_ids, pos])
-        k_cache_l = k_cache_l.at[batch_ids, pos].set(k_w)
-        v_cache_l = v_cache_l.at[batch_ids, pos].set(v_w)
+        # cache rows are (B, KH, S, D): per-slot scatter at [b, :, pos[b], :]
+        k_w = jnp.where(active[:, None, None], k[:, 0].astype(ck.dtype),
+                        ck[batch_ids, :, pos])
+        v_w = jnp.where(active[:, None, None], v[:, 0].astype(cv.dtype),
+                        cv[batch_ids, :, pos])
+        ck = ck.at[batch_ids, :, pos].set(k_w)
+        cv = cv.at[batch_ids, :, pos].set(v_w)
 
-        attn = _attn_core(q, _repeat_kv(k_cache_l, n_rep),
-                          _repeat_kv(v_cache_l, n_rep), mask)
-        h = h + linear(attn, layer_params["attention"]["wo"])
-        h = h + _ffn(layer_params, rms_norm(h, layer_params["ffn_norm"],
-                                            cfg.norm_eps))
-        return h, (k_cache_l, v_cache_l)
+        attn = _decode_attn(q, ck, cv, mask, n_rep)
+        h = h + linear(attn, lp["attention"]["wo"])
+        h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
+        new_cache.append({"k": ck, "v": cv})
 
-    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"],
-                                               cache["v"]))
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
-    return logits, {"k": k_new, "v": v_new}
+    return logits, new_cache
 
 
 def prefill_into_slot(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
-                      slot: jnp.ndarray, cache: Params,
+                      slot: jnp.ndarray, cache,
                       freqs_cis: jnp.ndarray):
     """Prefill ONE request's conditioning into batch row `slot` of the cache.
 
@@ -472,22 +513,23 @@ def prefill_into_slot(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
     n_rep = cfg.n_head // cfg.kv_heads
     h = cond_emb
 
-    def body(h, xs):
-        layer_params, k_cache_l, v_cache_l = xs
-        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
-        q, k, v = _qkv(layer_params, cfg, hn, freqs)
-        k_cache_l = jax.lax.dynamic_update_slice(
-            k_cache_l, k.astype(k_cache_l.dtype), (slot, 0, 0, 0))
-        v_cache_l = jax.lax.dynamic_update_slice(
-            v_cache_l, v.astype(v_cache_l.dtype), (slot, 0, 0, 0))
+    new_cache = []
+    for i in range(cfg.n_layer):
+        lp = _layer_params(params, i)
+        ck, cv = cache[i]["k"], cache[i]["v"]
+        hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv(lp, cfg, hn, freqs)
+        k_r = jnp.transpose(k, (0, 2, 1, 3))     # (1,KH,T,D)
+        v_r = jnp.transpose(v, (0, 2, 1, 3))
+        ck = jax.lax.dynamic_update_slice(ck, k_r.astype(ck.dtype),
+                                          (slot, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_r.astype(cv.dtype),
+                                          (slot, 0, 0, 0))
         attn = _attn_core(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep), mask)
-        h = h + linear(attn, layer_params["attention"]["wo"])
-        h = h + _ffn(layer_params, rms_norm(h, layer_params["ffn_norm"],
-                                            cfg.norm_eps))
-        return h, (k_cache_l, v_cache_l)
+        h = h + linear(attn, lp["attention"]["wo"])
+        h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
+        new_cache.append({"k": ck, "v": cv})
 
-    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"],
-                                               cache["v"]))
     h = rms_norm(h[:, -1:], params["norm"], cfg.norm_eps)
     logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
-    return logits, {"k": k_new, "v": v_new}
+    return logits, new_cache

@@ -119,3 +119,86 @@ def train_iteration(state: VQTrainState, images, gen_jit, disc_jit):
     state, recons, gen_metrics = gen_jit(state, images)
     state, disc_metrics = disc_jit(state, images, recons)
     return state, {**gen_metrics, **disc_metrics}
+
+
+def main(argv=None):
+    """CLI (ref tokenizer/tokenizer_image/vq_train.py:36-316 surface)."""
+    import argparse
+    import time
+
+    import numpy as np
+
+    from ..core.config import MeshConfig
+    from ..core.logging import create_logger
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--vq-model", default="VQ-16")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--global-batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--disc-start", type=int, default=20000)
+    p.add_argument("--disc-weight", type=float, default=0.5)
+    p.add_argument("--perceptual-weight", type=float, default=1.0)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--data", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--results-dir", default="./results_vq")
+    p.add_argument("--lpips-weights", default=None,
+                   help="npz of converted VGG/LPIPS weights")
+    p.add_argument("--force-platform", default=None)
+    p.add_argument("--smoke", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.force_platform:
+        jax.config.update("jax_platforms", args.force_platform)
+
+    from ..core.config import vq_config
+    logger = create_logger(args.results_dir)
+    if args.smoke:
+        cfg = VQConfig(ch=8, z_channels=8, codebook_size=64,
+                       codebook_embed_dim=4, encoder_ch_mult=(1, 2),
+                       decoder_ch_mult=(1, 2), num_res_blocks=1,
+                       dtype="float32")
+        size = 32
+    else:
+        cfg = vq_config(args.vq_model)
+        size = args.image_size
+    tcfg = TrainConfig(lr=args.lr, global_batch_size=args.global_batch_size,
+                       ema=args.ema, log_every=args.log_every)
+    mesh = pmesh.make_mesh(MeshConfig(data=args.data, fsdp=args.fsdp))
+
+    lpips_params = None
+    if args.lpips_weights:
+        lpips_params = vql.load_lpips_npz(args.lpips_weights)
+    state = create_vq_train_state(jax.random.key(0), cfg, tcfg, lpips_params)
+    gen_jit, disc_jit = make_vq_train_steps(
+        cfg, tcfg, mesh, disc_start=args.disc_start,
+        perceptual_weight=args.perceptual_weight if lpips_params else 0.0,
+        disc_weight=args.disc_weight)
+
+    steps = 0
+    last_t = time.time()
+    logger.info(f"VQ-GAN training {args.vq_model} @{size} (synthetic smoke "
+                f"data unless a dataset is wired)")
+    while args.max_steps is None or steps < args.max_steps:
+        rs = np.random.RandomState(steps)
+        images = jnp.asarray(
+            rs.rand(args.global_batch_size, size, size, 3).astype(np.float32)
+            * 2 - 1)
+        images = jax.device_put(images, pmesh.data_sharding(mesh, 4))
+        state, metrics = train_iteration(state, images, gen_jit, disc_jit)
+        steps += 1
+        if steps % args.log_every == 0:
+            dt = time.time() - last_t
+            logger.info(f"step {steps} rec {float(metrics['rec']):.4f} "
+                        f"vq {float(metrics['vq']):.4f} "
+                        f"disc {float(metrics['disc']):.4f} "
+                        f"steps/s {args.log_every / dt:.2f}")
+            last_t = time.time()
+    return state
+
+
+if __name__ == "__main__":
+    main()
