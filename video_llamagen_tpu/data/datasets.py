@@ -161,6 +161,50 @@ class T2VLatentDataset:
         raise RuntimeError("too many failed samples")
 
 
+class T2IDataset:
+    """Raw image + precomputed T5 feature pairs (ref dataset/t2i.py
+    Text2ImgDatasetImg): jsonl metadata with image_path/caption_emb_path,
+    50% short/long caption mix when both are present."""
+
+    def __init__(self, jsonl_path: str, image_size: int = 256,
+                 long_caption_prob: float = 0.5):
+        import json as _json
+        self.items = []
+        with open(jsonl_path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    self.items.append(_json.loads(line))
+        self.image_size = image_size
+        self.long_caption_prob = long_caption_prob
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        for _ in range(64):
+            try:
+                item = self.items[idx]
+                from PIL import Image
+                from .transforms import center_crop_arr
+                img = center_crop_arr(
+                    Image.open(item["image_path"]).convert("RGB"),
+                    self.image_size).astype(np.float32) / 127.5 - 1.0
+                key = "caption_emb_path"
+                if ("long_caption_emb_path" in item
+                        and random.random() < self.long_caption_prob):
+                    key = "long_caption_emb_path"
+                t5_padded, emb_mask = left_pad_t5(np.load(item[key]))
+                code_len = (self.image_size // 16) ** 2
+                attn_mask = build_attn_mask(T5_FEATURE_MAX_LEN + code_len,
+                                            emb_mask)
+                return dict(image=img, t5_feat=t5_padded, emb_mask=emb_mask,
+                            attn_mask=attn_mask, valid=np.float32(1.0))
+            except Exception:
+                idx = random.randint(0, len(self) - 1)
+        raise RuntimeError("too many failed samples")
+
+
 class ImageNetCodeDataset:
     """Precomputed VQ codes + labels (ref dataset/imagenet.py build_imagenet_code).
 
@@ -232,6 +276,7 @@ def build_dataset(name: str, **kwargs):
     builders = {
         "t2v": T2VDataset,
         "t2v_latents": T2VLatentDataset,
+        "t2i": T2IDataset,
         "imagenet_code": ImageNetCodeDataset,
     }
     if name not in builders:
