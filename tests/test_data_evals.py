@@ -206,3 +206,18 @@ def test_load_video_set(tmp_path):
     vids = load_video_set(str(tmp_path))
     assert vids.shape == (2, 3, 8, 8, 3)
     assert vids.max() <= 1.0
+
+
+def test_hub_save_load_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from video_llamagen_tpu.models import hub
+    from video_llamagen_tpu.core.config import GPTConfig
+    params = {"a": jnp.ones((2, 3)), "layers": {"w": jnp.zeros((4,))},
+              "lst": [{"x": jnp.full((2,), 7.0)}, {"x": jnp.full((2,), 8.0)}]}
+    cfg = GPTConfig(dim=64, n_layer=2, n_head=4)
+    hub.save_pretrained(str(tmp_path / "m"), params, cfg)
+    p2, c2 = hub.from_pretrained(str(tmp_path / "m"), GPTConfig)
+    assert c2.dim == 64 and c2.n_layer == 2
+    np.testing.assert_array_equal(np.asarray(p2["a"]), np.ones((2, 3)))
+    np.testing.assert_array_equal(np.asarray(p2["lst"][1]["x"]), 8.0)
