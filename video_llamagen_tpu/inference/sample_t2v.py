@@ -69,11 +69,13 @@ def main(argv=None):
                                   args.caption_dim))
 
     if args.gpt_ckpt:
-        raise NotImplementedError(
-            "t2v torch-ckpt import: use core.torch_import with a video "
-            "param mapping (reference published no t2v weights)")
-    params = gpt_video.init_video_gpt_params(jax.random.key(args.seed), cfg)
-    print("WARNING: random video GPT weights (smoke mode)")
+        from ..models.hub import from_pretrained
+        from ..core.config import GPTConfig
+        params, cfg = from_pretrained(args.gpt_ckpt, GPTConfig)
+        print(f"loaded video GPT from {args.gpt_ckpt}")
+    else:
+        params = gpt_video.init_video_gpt_params(jax.random.key(args.seed), cfg)
+        print("WARNING: random video GPT weights (smoke mode)")
 
     rng = jax.random.key(args.seed)
     if args.sampler == "ar":
@@ -94,9 +96,16 @@ def main(argv=None):
     # decode through the CausalVAE: (B, t*h*w, C) -> (B, t, h, w, C) -> video
     vcfg = CausalVAEConfig(embed_dim=args.vae_embed_dim)
     if args.vae_ckpt:
-        raise NotImplementedError("CausalVAE torch import shim pending")
-    vae_params = cvae.init_causal_vae_params(jax.random.key(args.seed + 1), vcfg)
-    print("WARNING: random VAE weights (smoke mode)")
+        import torch
+        from ..core.torch_import import import_causal_vae_state_dict
+        ckpt = torch.load(args.vae_ckpt, map_location="cpu",
+                          weights_only=False)
+        vae_params = import_causal_vae_state_dict(ckpt, vcfg)
+        print(f"loaded CausalVAE from {args.vae_ckpt}")
+    else:
+        vae_params = cvae.init_causal_vae_params(jax.random.key(args.seed + 1),
+                                                 vcfg)
+        print("WARNING: random VAE weights (smoke mode)")
     b = latents.shape[0]
     vae_t = cfg.vae_t
     z = latents.reshape(b, vae_t, latent, latent, args.vae_embed_dim)
@@ -110,8 +119,8 @@ def main(argv=None):
             u8 = (frames01[i] * 255).astype(np.uint8)
             imageio.mimwrite(f"{args.out}_{i}.mp4", u8, fps=8)
         print(f"wrote {b} mp4 file(s)")
-    except ImportError:
-        print("imageio not available; skipped mp4 export")
+    except Exception as e:  # imageio may lack an ffmpeg/pyav backend
+        print(f"mp4 export unavailable ({type(e).__name__}); frames saved as npy")
 
 
 if __name__ == "__main__":
