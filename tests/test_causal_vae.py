@@ -130,3 +130,12 @@ def test_tiled_decode_temporal_shapes(params):
     dec = cv.tiled_decode_temporal(params, TINY, z)
     assert dec.shape[2:] == (16, 16, 3)
     assert np.isfinite(np.asarray(dec)).all()
+
+
+def test_refiner_roundtrip_shape():
+    from video_llamagen_tpu.tokenizers.causal_vae import refiner
+    p = refiner.init_refiner_params(jax.random.key(0), TINY)
+    x = jax.random.normal(jax.random.key(1), (1, 5, 16, 16, 3))
+    out = refiner.refine(p, TINY, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()

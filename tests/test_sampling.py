@@ -70,3 +70,19 @@ def test_cfg_mix():
     # flag off -> plain conditional logits
     out2 = np.asarray(sampling.cfg_mix(logits, 2.0, jnp.asarray(False)))
     np.testing.assert_allclose(out2, cond)
+
+
+def test_int8_weight_quantization():
+    from video_llamagen_tpu.ops.quant import (
+        quantize_weight, qlinear, dequantize_weight)
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(32, 16).astype(np.float32) * 0.1)
+    wq = quantize_weight(w)
+    assert wq.q.dtype.name == "int8"
+    # dequantized weight close to original
+    wd = dequantize_weight(wq, jnp.float32)
+    np.testing.assert_allclose(np.asarray(wd), np.asarray(w), atol=2e-3)
+    # qlinear close to exact matmul
+    x = jnp.asarray(rs.randn(4, 32).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(qlinear(x, wq)),
+                               np.asarray(x @ w), atol=2e-2)

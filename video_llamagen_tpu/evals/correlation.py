@@ -112,6 +112,7 @@ def corr_lookup(volume: jnp.ndarray, coords: jnp.ndarray,
     (alt_cuda_corr correlation_forward semantics).
     """
     b, h, w = volume.shape[:3]
+    ht, wt = volume.shape[3:]        # target dims (pooled at pyramid levels)
     r = radius
     d = 2 * r + 1
     dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
@@ -119,13 +120,13 @@ def corr_lookup(volume: jnp.ndarray, coords: jnp.ndarray,
     delta = jnp.stack(jnp.meshgrid(dx, dy, indexing="xy"), axis=-1)  # (d,d,2)
 
     def one_batch(vol_b, coords_b):
-        # vol_b (H, W, H, W) -> for each source pixel sample target window
+        # vol_b (H, W, Ht, Wt) -> for each source pixel sample target window
         def one_pixel(vol_hw, xy):
-            img = vol_hw[..., None]                     # (H, W, 1)
+            img = vol_hw[..., None]                     # (Ht, Wt, 1)
             pts = xy[None, None, :] + delta             # (d, d, 2)
             return bilinear_sample(img, pts).reshape(d * d)
 
-        flat_vol = vol_b.reshape(h * w, h, w)
+        flat_vol = vol_b.reshape(h * w, ht, wt)
         flat_xy = coords_b.reshape(h * w, 2)
         return jax.vmap(one_pixel)(flat_vol, flat_xy).reshape(h, w, d * d)
 
@@ -139,6 +140,9 @@ def corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     vol = corr_volume(fmap1, fmap2).reshape(b * h * w, h, w, 1)
     pyramid = [vol]
     for _ in range(num_levels - 1):
+        if min(vol.shape[1], vol.shape[2]) < 2:
+            pyramid.append(vol)  # too small to pool further (tiny inputs)
+            continue
         vol = jax.lax.reduce_window(
             vol, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
         pyramid.append(vol)
