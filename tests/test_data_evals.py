@@ -221,3 +221,15 @@ def test_hub_save_load_roundtrip(tmp_path):
     assert c2.dim == 64 and c2.n_layer == 2
     np.testing.assert_array_equal(np.asarray(p2["a"]), np.ones((2, 3)))
     np.testing.assert_array_equal(np.asarray(p2["lst"][1]["x"]), 8.0)
+
+
+def test_clip_score_from_features():
+    from video_llamagen_tpu.evals.clip_score import clip_score_from_features
+    rs = np.random.RandomState(0)
+    a = rs.randn(10, 8)
+    # identical embeddings -> score 100
+    np.testing.assert_allclose(clip_score_from_features(a, a), 100.0, atol=1e-5)
+    # orthogonal -> 0
+    b = np.roll(a, 1, axis=0)
+    s = clip_score_from_features(a, -a)
+    assert s == 0.0

@@ -37,9 +37,12 @@ def main(argv=None):
     p.add_argument("--real-path", required=True)
     p.add_argument("--fake-path", required=True)
     p.add_argument("--metric", nargs="+", default=["psnr", "ssim"],
-                   choices=["psnr", "ssim", "lpips", "fvd"])
+                   choices=["psnr", "ssim", "lpips", "fvd", "wraperror",
+                            "flolpips"])
     p.add_argument("--i3d-path", default=None)
     p.add_argument("--lpips-npz", default=None)
+    p.add_argument("--raft-ckpt", default=None)
+    p.add_argument("--raft-iters", type=int, default=12)
     p.add_argument("--force-platform", default=None)
     args = p.parse_args(argv)
 
@@ -75,6 +78,26 @@ def main(argv=None):
     if "fvd" in args.metric:
         from .fvd import compute_fvd
         results["fvd"] = compute_fvd(real, fake, i3d_path=args.i3d_path)
+
+    if "wraperror" in args.metric or "flolpips" in args.metric:
+        from . import raft as raft_mod
+        if args.raft_ckpt:
+            rp = raft_mod.load_raft_checkpoint(args.raft_ckpt)
+        else:
+            print("WARNING: random-init RAFT (relative numbers only)")
+            rp = raft_mod.init_raft_params(jax.random.key(0))
+        if "wraperror" in args.metric:
+            err = raft_mod.warp_error(rp, jnp.asarray(fake * 255.0),
+                                      iters=args.raft_iters)
+            results["wraperror"] = float(np.asarray(err).mean())
+        if "flolpips" in args.metric:
+            from ..tokenizers.vq.losses import (init_lpips_params,
+                                                load_lpips_npz)
+            lp = (load_lpips_npz(args.lpips_npz) if args.lpips_npz
+                  else init_lpips_params(jax.random.key(1)))
+            fl = raft_mod.flolpips(lp, rp, jnp.asarray(real),
+                                   jnp.asarray(fake), iters=args.raft_iters)
+            results["flolpips"] = float(np.asarray(fl).mean())
 
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
