@@ -86,3 +86,17 @@ def test_int8_weight_quantization():
     x = jnp.asarray(rs.randn(4, 32).astype(np.float32))
     np.testing.assert_allclose(np.asarray(qlinear(x, wq)),
                                np.asarray(x @ w), atol=2e-2)
+
+
+def test_qmatmul_pallas_matches():
+    import jax
+    from video_llamagen_tpu.ops.quant import quantize_weight
+    from video_llamagen_tpu.ops.qmatmul import qmatmul
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(8, 96).astype(np.float32))
+    w = jnp.asarray(rs.randn(96, 130).astype(np.float32) * 0.1)
+    wq = quantize_weight(w)
+    interpret = jax.default_backend() != "tpu"
+    got = np.asarray(qmatmul(x, wq.q, wq.scale, interpret=interpret))
+    want = np.asarray(x) @ np.asarray(w)
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)

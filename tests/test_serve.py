@@ -82,3 +82,19 @@ def test_engine_mixed_sampling_params(params):
         done += eng.step()
     lens = sorted(len(r.tokens) for r in done)
     assert lens == [3, 5]
+
+
+def test_engine_tp_sharded(params):
+    """Engine with params sharded over a (tp=2, fsdp=2) mesh == unsharded."""
+    from video_llamagen_tpu.core.config import MeshConfig
+    from video_llamagen_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(MeshConfig(fsdp=2, tp=2))
+    sp = SamplingParams(max_tokens=5, top_k=1, cfg_scale=1.0)
+
+    eng_plain = ServeEngine(params, TINY, max_batch=2)
+    want = eng_plain.generate([3], sp)[0].tokens
+
+    eng_tp = ServeEngine(params, TINY, max_batch=2, mesh=mesh)
+    got = eng_tp.generate([3], SamplingParams(max_tokens=5, top_k=1,
+                                              cfg_scale=1.0))[0].tokens
+    assert got == want, (got, want)

@@ -95,11 +95,30 @@ def param_shardings(params: Any, mesh: Mesh,
     axis is the layer axis and the rule applies to the remaining dims.
     """
 
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def _axis_size(entry) -> int:
+        if entry is None:
+            return 1
+        if isinstance(entry, tuple):
+            n = 1
+            for a in entry:
+                n *= axis_sizes.get(a, 1)
+            return n
+        return axis_sizes.get(entry, 1)
+
     def assign(path, leaf):
         p = flatten_path(path)
         stacked = any(p.startswith(pref) for pref in stacked_prefixes)
         spec = _spec_for(p, rules, np.ndim(leaf), stacked)
-        return NamedSharding(mesh, spec)
+        # drop axes that don't divide the dim (e.g. odd vocab over tp) —
+        # replicating that dim beats crashing, matching GSPMD best practice
+        shape = np.shape(leaf)
+        parts = [
+            (entry if shape[i] % _axis_size(entry) == 0 else None)
+            for i, entry in enumerate(spec)
+        ]
+        return NamedSharding(mesh, P(*parts))
 
     return jax.tree_util.tree_map_with_path(assign, params)
 

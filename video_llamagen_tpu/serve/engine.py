@@ -62,10 +62,16 @@ class ServeEngine:
     llm_engine.py LLMEngine collapsed into one TPU-friendly class)."""
 
     def __init__(self, params, cfg: GPTConfig, max_batch: int = 8,
-                 max_seq: Optional[int] = None, dtype=None):
+                 max_seq: Optional[int] = None, dtype=None, mesh=None):
+        """`mesh`: optional jax Mesh — params are laid out by the tp/fsdp
+        sharding rules (parallel/mesh.py) and the compiled prefill/decode
+        steps run SPMD over it (the vLLM tensor_parallel_size analog)."""
         self.cfg = cfg
         self.dtype = jnp.dtype(dtype or cfg.dtype)
         self.model_params = gpt.cast_params(params, self.dtype)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            self.model_params = pmesh.shard_params(self.model_params, mesh)
         self.max_batch = max_batch          # request slots; CFG uses 2 rows each
         self.rows = 2 * max_batch           # physical batch rows
         t_cond = cfg.cls_token_num
