@@ -82,3 +82,37 @@ def test_dense_mask_path():
         jnp.asarray(q), jnp.asarray(q), jnp.asarray(q),
         mask=jnp.asarray(mask)[None, None], use_flash=False))
     assert np.isfinite(got).all()
+
+
+def test_cp_trunk_matches_dense():
+    """cp-sharded trunk == dense trunk on the same inputs."""
+    from video_llamagen_tpu.core.config import GPTConfig, MeshConfig
+    from video_llamagen_tpu.parallel import mesh as pmesh
+    from video_llamagen_tpu.parallel.cp import cp_trunk_forward
+    from video_llamagen_tpu.models import gpt as gpt_mod
+    from video_llamagen_tpu.core.rope import precompute_freqs_2d
+    from video_llamagen_tpu.ops.nn import rms_norm
+
+    cfg = GPTConfig(dim=32, n_layer=2, n_head=2, vocab_size=64, num_classes=8,
+                    block_size=16, cls_token_num=1, model_type="c2i",
+                    dtype="float32")
+    params = gpt_mod.init_gpt_params(jax.random.key(0), cfg)
+    mesh = pmesh.make_mesh(MeshConfig(cp=4))
+    freqs = precompute_freqs_2d(cfg.grid_size, cfg.head_dim, cfg.rope_base,
+                                cfg.cls_token_num)
+    embeds = jax.random.normal(jax.random.key(1), (2, 16, cfg.dim))
+
+    got = np.asarray(cp_trunk_forward(params, cfg, embeds, mesh, freqs))
+
+    # dense reference: same blocks + causal mask
+    h = embeds
+    mask = jnp.tril(jnp.ones((16, 16), bool))[None, None]
+
+    def body(h, xs):
+        lp, dp = xs
+        return gpt_mod.block_forward(lp, cfg, h, freqs[:16], mask), None
+
+    dp = jnp.zeros((cfg.n_layer,))
+    h, _ = jax.lax.scan(body, h, (params["layers"], dp))
+    want = np.asarray(rms_norm(h, params["norm"], cfg.norm_eps))
+    np.testing.assert_allclose(got, want, atol=2e-4)

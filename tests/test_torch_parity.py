@@ -67,3 +67,48 @@ def test_gpt_forward_parity(reference_path, model_type, cls_token_num):
     # ours is truncated to [cls_token_num-1:], reference (eval mode) is full
     want = ref_logits[:, cls_token_num - 1:]
     np.testing.assert_allclose(np.asarray(our_logits), want, atol=2e-3, rtol=1e-3)
+
+
+def test_vq_model_forward_parity(reference_path):
+    """Tiny reference VQModel -> import weights -> encode/decode match."""
+    import torch
+    if reference_path not in sys.path:
+        sys.path.insert(0, reference_path)
+    import importlib
+    ref = importlib.import_module("tokenizer.tokenizer_image.vq_model")
+
+    from video_llamagen_tpu.core.config import VQConfig
+    from video_llamagen_tpu.core.torch_import import import_vq_state_dict
+    from video_llamagen_tpu.tokenizers.vq import model as vq
+
+    torch.manual_seed(0)
+    margs = ref.ModelArgs(codebook_size=32, codebook_embed_dim=8,
+                          encoder_ch_mult=[1, 2], decoder_ch_mult=[1, 2],
+                          z_channels=16)
+    # reference Encoder/Decoder take ch from default (128): build with ch=32
+    tm = ref.VQModel(margs)
+    tm.encoder = ref.Encoder(ch=32, ch_mult=(1, 2), num_res_blocks=2,
+                             z_channels=16)
+    tm.decoder = ref.Decoder(ch=32, ch_mult=(1, 2), num_res_blocks=2,
+                             z_channels=16)
+    tm = tm.eval()
+
+    cfg = VQConfig(codebook_size=32, codebook_embed_dim=8,
+                   encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2),
+                   z_channels=16, ch=32, dtype="float32")
+    params = import_vq_state_dict(tm.state_dict(), cfg)
+
+    x = np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        want_dec, _ = tm(torch.from_numpy(x))
+        want_q, _, (_, _, want_idx) = tm.encode(torch.from_numpy(x))
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_q, _, got_idx = vq.encode(params, cfg, xj)
+    got_dec, _, _ = vq.forward(params, cfg, xj)
+
+    np.testing.assert_array_equal(np.asarray(got_idx),
+                                  want_idx.numpy().reshape(-1))
+    np.testing.assert_allclose(
+        np.asarray(got_dec).transpose(0, 3, 1, 2), want_dec.numpy(),
+        atol=2e-3, rtol=1e-3)

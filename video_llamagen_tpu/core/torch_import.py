@@ -184,6 +184,61 @@ def load_vq_checkpoint(path: str, cfg: VQConfig) -> Dict[str, Any]:
     return import_vq_state_dict(ckpt, cfg)
 
 
+def import_taming_vqgan_state_dict(sd: Dict[str, Any], cfg: VQConfig) -> Dict[str, Any]:
+    """taming-transformers VQGAN checkpoints (ref tokenizer/vqgan/):
+    encoder.down.{i}.block.{j} naming, mid.block_1/attn_1/block_2,
+    quantize.embedding.weight — mapped onto our VQ pytree."""
+    sd = unwrap_state_dict(sd)
+
+    def level_block(which, i, j):
+        return _res_block(sd, f"{which}.down.{i}.block.{j}"
+                          if which == "encoder"
+                          else f"{which}.up.{i}.block.{j}")
+
+    n_enc = len(cfg.encoder_ch_mult)
+    enc: Dict[str, Any] = {"conv_in": _conv(sd, "encoder.conv_in")}
+    levels = []
+    for i in range(n_enc):
+        level: Dict[str, Any] = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks):
+            level["res"].append(level_block("encoder", i, j))
+            if f"encoder.down.{i}.attn.{j}.norm.weight" in sd:
+                level["attn"].append(_attn_block(sd, f"encoder.down.{i}.attn.{j}"))
+        if f"encoder.down.{i}.downsample.conv.weight" in sd:
+            level["downsample"] = {"conv": _conv(sd, f"encoder.down.{i}.downsample.conv")}
+        levels.append(level)
+    enc["levels"] = levels
+    enc["mid"] = {"res1": _res_block(sd, "encoder.mid.block_1"),
+                  "attn": _attn_block(sd, "encoder.mid.attn_1"),
+                  "res2": _res_block(sd, "encoder.mid.block_2")}
+    enc["norm_out"] = _gn(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    n_dec = len(cfg.decoder_ch_mult)
+    dec: Dict[str, Any] = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid"] = {"res1": _res_block(sd, "decoder.mid.block_1"),
+                  "attn": _attn_block(sd, "decoder.mid.attn_1"),
+                  "res2": _res_block(sd, "decoder.mid.block_2")}
+    dlevels = []
+    for i in reversed(range(n_dec)):
+        level = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks + 1):
+            level["res"].append(level_block("decoder", i, j))
+            if f"decoder.up.{i}.attn.{j}.norm.weight" in sd:
+                level["attn"].append(_attn_block(sd, f"decoder.up.{i}.attn.{j}"))
+        if f"decoder.up.{i}.upsample.conv.weight" in sd:
+            level["upsample"] = {"conv": _conv(sd, f"decoder.up.{i}.upsample.conv")}
+        dlevels.append(level)
+    dec["levels"] = dlevels
+    dec["norm_out"] = _gn(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    return {"encoder": enc, "decoder": dec,
+            "quantize": {"embedding": _np(sd["quantize.embedding.weight"]).astype(np.float32)},
+            "quant_conv": _conv(sd, "quant_conv"),
+            "post_quant_conv": _conv(sd, "post_quant_conv")}
+
+
 # ---------------------------------------------------------------------------
 # CausalVideoVAE
 # ---------------------------------------------------------------------------

@@ -203,11 +203,18 @@ def block_forward(block: Params, cfg: GPTConfig, x: jnp.ndarray,
                   freqs: jnp.ndarray, mask: Optional[jnp.ndarray],
                   rngs: Optional[Dict[str, jax.Array]] = None,
                   train: bool = False, dp_rate=0.0) -> jnp.ndarray:
-    """Full-sequence block (training / prefill without cache)."""
+    """Full-sequence block (training / prefill without cache).
+
+    On TPU with long sequences this dispatches to the Pallas flash-attention
+    kernel (ops/attention); the einsum path is the exact fallback.
+    """
     h = rms_norm(x, block["attention_norm"], cfg.norm_eps)
     q, k, v = _qkv(block, cfg, h, freqs)
     n_rep = cfg.n_head // cfg.kv_heads
-    attn = _attn_core(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep), mask)
+    from ..ops.attention import multi_head_attention
+    attn = multi_head_attention(q, _repeat_kv(k, n_rep),
+                                _repeat_kv(v, n_rep), mask=mask, causal=True)
+    attn = attn.reshape(x.shape[0], x.shape[1], cfg.dim)
     attn = linear(attn, block["attention"]["wo"])
     if train and rngs is not None:
         attn = dropout(rngs.get("resid"), attn, cfg.resid_dropout_p, not train)
