@@ -22,7 +22,7 @@ def make_cfg(head):
 SEQ = 4 * 2  # grid 2x2, vae_t=2
 
 
-@pytest.fixture(scope="module", params=["mse", "diff", "mask_diff"])
+@pytest.fixture(scope="module", params=["mse", "diff", "mask_diff", "mask_mse"])
 def head_setup(request):
     cfg = make_cfg(request.param)
     params = gpt_video.init_video_gpt_params(jax.random.key(0), cfg)

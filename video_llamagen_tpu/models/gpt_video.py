@@ -61,14 +61,15 @@ def init_video_gpt_params(rng: jax.Array, cfg: GPTConfig) -> Params:
         "fc1": init_linear(ra[0], cfg.vae_embed_dim, cfg.dim, std),
         "fc2": init_linear(ra[1], cfg.dim, cfg.dim, std),
     }
-    if cfg.video_head == "mse":
+    if cfg.video_head in ("mse", "mask_mse"):
         params["vae_latent_adapter2"] = {
             "fc1": init_linear(ra[2], cfg.dim, cfg.dim, std),
             "fc2": init_linear(ra[3], cfg.dim, cfg.vae_embed_dim, std),
         }
-    else:
-        params["mask_token"] = jnp.zeros((1, 1, cfg.vae_embed_dim), jnp.float32)
+    if cfg.video_head in ("diff", "mask_diff"):
         params["diffloss"] = init_diffloss_params(r[2], diffloss_config(cfg))
+    if cfg.video_head in ("diff", "mask_diff", "mask_mse"):
+        params["mask_token"] = jnp.zeros((1, 1, cfg.vae_embed_dim), jnp.float32)
     return params
 
 
@@ -231,6 +232,29 @@ def _diff_loss(params: Params, cfg: GPTConfig, z: jnp.ndarray,
                           rng, mask=mm)
 
 
+def forward_train_mask_mse(params: Params, cfg: GPTConfig,
+                           video_latent: jnp.ndarray, cond_embed: jnp.ndarray,
+                           rng: jax.Array,
+                           mask: Optional[jnp.ndarray] = None):
+    """Masked MSE training — the intent of the reference's MISSING
+    gpt_video_mask.py (train_t2v_mask.py:35 imports it; it doesn't exist
+    upstream): mask-token substitution like mask_diff but with the MSE
+    projection head, loss on masked positions only."""
+    r_ratio, r_mask, r_trunk = jax.random.split(rng, 3)
+    b, l, _ = video_latent.shape
+    ratio = sample_mask_ratio(r_ratio, cfg.mask_ratio_min)
+    token_mask = random_masking(r_mask, b, l, ratio)
+    mask_tok = params["mask_token"].astype(video_latent.dtype)
+    inputs = jnp.where(token_mask[..., None] > 0, mask_tok, video_latent)[:, :-1]
+    h = trunk_forward(params, cfg, inputs, cond_embed, mask, r_trunk, train=True)
+    h = _adapter(params["vae_latent_adapter2"], h)
+    pred = h[:, cfg.cls_token_num - 1:]
+    err = (pred.astype(jnp.float32) - video_latent.astype(jnp.float32)) ** 2
+    w = token_mask[..., None]
+    loss = (err * w).sum() / jnp.maximum(w.sum() * err.shape[-1], 1.0)
+    return pred, loss
+
+
 def forward_train(params: Params, cfg: GPTConfig, video_latent: jnp.ndarray,
                   cond_embed: jnp.ndarray, rng: jax.Array,
                   mask: Optional[jnp.ndarray] = None):
@@ -242,4 +266,7 @@ def forward_train(params: Params, cfg: GPTConfig, video_latent: jnp.ndarray,
     if cfg.video_head == "mask_diff":
         return forward_train_mask_diff(params, cfg, video_latent, cond_embed,
                                        rng, mask)
+    if cfg.video_head == "mask_mse":
+        return forward_train_mask_mse(params, cfg, video_latent, cond_embed,
+                                      rng, mask)
     raise ValueError(f"unknown video_head {cfg.video_head}")

@@ -44,7 +44,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--gpt-model", default="GPT-B")
     p.add_argument("--video-head", default="diff",
-                   choices=["mse", "diff", "mask_diff"])
+                   choices=["mse", "diff", "mask_diff", "mask_mse"])
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--downsample-size", type=int, default=8)
     p.add_argument("--num-frames", type=int, default=17)
