@@ -75,6 +75,8 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1, help="tensor mesh axis")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable per-block rematerialization (uses more HBM)")
     p.add_argument("--force-platform", default=None,
                    help="override jax platform (e.g. cpu); combine with "
                    "XLA_FLAGS=--xla_force_host_platform_device_count=N")
@@ -89,7 +91,7 @@ def main(argv=None):
                      block_size=latent ** 2, num_classes=args.num_classes,
                      cls_token_num=1, model_type="c2i",
                      dtype="bfloat16" if args.mixed_precision == "bf16"
-                     else "float32")
+                     else "float32", remat=not args.no_remat)
     tcfg = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
                        beta1=args.beta1, beta2=args.beta2,
                        grad_clip=args.max_grad_norm, epochs=args.epochs,

@@ -102,6 +102,7 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--results-dir", default="./results_t2i")
+    p.add_argument("--no-remat", action="store_true")
     p.add_argument("--force-platform", default=None)
     args = p.parse_args(argv)
 
@@ -113,7 +114,8 @@ def main(argv=None):
     block = latent ** 2
     cfg = gpt_config(args.gpt_model, vocab_size=16384, block_size=block,
                      cls_token_num=args.cls_token_num,
-                     caption_dim=args.caption_dim, model_type="t2i")
+                     caption_dim=args.caption_dim, model_type="t2i",
+                     remat=not args.no_remat)
     tcfg = TrainConfig(lr=args.lr,
                        global_batch_size=args.global_batch_size,
                        log_every=args.log_every)

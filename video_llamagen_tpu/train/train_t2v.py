@@ -72,6 +72,7 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-remat", action="store_true")
     p.add_argument("--profile", default=None,
                    help="dir for a jax.profiler trace of steps 3-6 "
                    "(ref train_t2v_profiler.py)")
@@ -90,7 +91,7 @@ def main(argv=None):
                      num_frames=args.num_frames,
                      t_downsample_size=args.t_downsample_size,
                      diffusion_batch_mul=args.diffusion_batch_mul,
-                     video_head=args.video_head)
+                     video_head=args.video_head, remat=not args.no_remat)
     tcfg = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
                        grad_clip=args.max_grad_norm, epochs=args.epochs,
                        global_batch_size=args.global_batch_size,
