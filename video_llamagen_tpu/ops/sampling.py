@@ -72,6 +72,38 @@ def logits_to_probs(logits: jnp.ndarray, temperature: float = 1.0,
     return jax.nn.softmax(logits, axis=-1)
 
 
+def sample_token_batched(rng: jax.Array, logits: jnp.ndarray,
+                         temperature: jnp.ndarray, top_k: jnp.ndarray,
+                         top_p: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized sampling with PER-ROW parameters (serving hot path).
+
+    logits (B, V); temperature/top_k/top_p each (B,). top_k<=0 disables
+    top-k for that row; top_p>=1 disables nucleus. One traced program
+    regardless of the parameter mix — the engine calls this once per step
+    for the whole batch (vLLM's triton sampler analog).
+    """
+    b, v = logits.shape
+    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)[:, None]
+
+    sort_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+
+    # per-row top-k: threshold at the (k-1)th sorted logit
+    k = jnp.where(top_k <= 0, v, jnp.clip(top_k, 1, v)).astype(jnp.int32)
+    kth = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)
+    keep_k = logits >= kth
+
+    # per-row top-p on the sorted order
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    remove_sorted = (cum - probs) > top_p[:, None]
+    inv = jnp.argsort(sort_idx, axis=-1)
+    keep_p = ~jnp.take_along_axis(remove_sorted, inv, axis=-1)
+
+    filtered = jnp.where(keep_k & keep_p, logits, NEG_INF)
+    return jax.random.categorical(rng, filtered, axis=-1)
+
+
 def cfg_mix(logits: jnp.ndarray, cfg_scale: float,
             cfg_flag: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Classifier-free-guidance mix for a batch holding [cond; uncond] halves.

@@ -28,7 +28,22 @@ import jax.numpy as jnp
 from ..core.config import GPTConfig
 from ..core.rope import precompute_freqs_2d
 from ..models import gpt
-from ..ops.sampling import sample_token, cfg_mix
+from ..ops.sampling import sample_token, sample_token_batched, cfg_mix
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _mix_and_sample(logits_rows, cfg_scales, temps, top_ks, top_ps, rng):
+    """CFG-mix [cond; uncond] row pairs + per-request sampling, one dispatch.
+
+    logits_rows (2R, V) laid out as pairs; cfg_scales/temps/top_ks/top_ps (R,).
+    Returns (R,) sampled tokens.
+    """
+    r = logits_rows.shape[0] // 2
+    pairs = logits_rows.reshape(r, 2, -1).astype(jnp.float32)
+    cond, uncond = pairs[:, 0], pairs[:, 1]
+    mixed = jnp.where((cfg_scales > 1.0)[:, None],
+                      uncond + (cond - uncond) * cfg_scales[:, None], cond)
+    return sample_token_batched(rng, mixed, temps, top_ks, top_ps)
 
 
 @dataclass
@@ -184,21 +199,28 @@ class ServeEngine:
             params=self.model_params, token_emb=tok_emb,
             pos=jnp.asarray(self.pos), cache=self.cache,
             active=jnp.asarray(active), freqs_cis=self.freqs_cis)
-        logits_np_rows = logits  # stays on device; sampled per request below
+
+        # one fused CFG-mix + per-request sampling dispatch for the whole batch
+        cfg_scales = np.ones(self.max_batch, np.float32)
+        temps = np.ones(self.max_batch, np.float32)
+        top_ks = np.zeros(self.max_batch, np.int32)
+        top_ps = np.ones(self.max_batch, np.float32)
+        for i in active_slots:
+            sp = self.slots[i].params
+            cfg_scales[i] = sp.cfg_scale
+            temps[i] = sp.temperature
+            top_ks[i] = sp.top_k
+            top_ps[i] = sp.top_p
+        self.rng, r = jax.random.split(self.rng)
+        sampled = np.asarray(_mix_and_sample(
+            logits, jnp.asarray(cfg_scales), jnp.asarray(temps),
+            jnp.asarray(top_ks), jnp.asarray(top_ps), r))
 
         finished = []
         for i in active_slots:
             req = self.slots[i]
             row_c, row_u = 2 * i, 2 * i + 1
-            lc = logits_np_rows[row_c:row_c + 1]
-            if req.params.cfg_scale > 1.0:
-                lu = logits_np_rows[row_u:row_u + 1]
-                mixed = lu + (lc - lu) * req.params.cfg_scale
-            else:
-                mixed = lc
-            self.rng, r = jax.random.split(self.rng)
-            tok = int(sample_token(r, mixed, req.params.temperature,
-                                   req.params.top_k, req.params.top_p)[0])
+            tok = int(sampled[i])
             req.tokens.append(tok)
             self.pos[row_c] += 1
             self.pos[row_u] += 1
