@@ -27,7 +27,7 @@ def params():
 def test_engine_batch_generate(params):
     eng = ServeEngine(params, TINY, max_batch=4)
     sp = SamplingParams(max_tokens=8, temperature=1.0, top_k=5, cfg_scale=2.0)
-    reqs = eng.generate([1, 2, 3], sp)
+    reqs = eng.generate([1, 2, 3], sp, offline_fast_path=False)
     assert len(reqs) == 3
     for r in reqs:
         assert len(r.tokens) == 8
@@ -46,7 +46,8 @@ def test_engine_greedy_matches_generate(params):
     # the engine then compare against generate with sample_logits=False only
     # when sampling is deterministic. Use argmax comparison via top_k=1.
     sp.top_k = 1
-    reqs = eng.generate([7], sp)
+    # force the continuous-batching path (the fast path trivially matches)
+    reqs = eng.generate([7], sp, offline_fast_path=False)
     got = reqs[0].tokens
 
     want = np.asarray(generate(params, TINY, jnp.asarray([7]),
@@ -98,3 +99,12 @@ def test_engine_tp_sharded(params):
     got = eng_tp.generate([3], SamplingParams(max_tokens=5, top_k=1,
                                               cfg_scale=1.0))[0].tokens
     assert got == want, (got, want)
+
+
+def test_engine_offline_fast_path_matches_step_path(params):
+    sp = SamplingParams(max_tokens=5, top_k=1, cfg_scale=1.0)
+    eng1 = ServeEngine(params, TINY, max_batch=2)
+    fast = eng1.generate([4], sp)[0].tokens
+    eng2 = ServeEngine(params, TINY, max_batch=2)
+    slow = eng2.generate([4], sp, offline_fast_path=False)[0].tokens
+    assert fast == slow, (fast, slow)

@@ -120,9 +120,19 @@ class ServeEngine:
                                   emb_mask=emb_mask))
         return rid
 
-    def generate(self, conds, params: Optional[SamplingParams] = None
-                 ) -> List[Request]:
-        """Offline batch entry (ref llm.py:138-267 _run_engine drain loop)."""
+    def generate(self, conds, params: Optional[SamplingParams] = None,
+                 offline_fast_path: bool = True) -> List[Request]:
+        """Offline batch entry (ref llm.py:138-267 _run_engine drain loop).
+
+        When every request shares the same SamplingParams and fits in one
+        batch, delegates to the fully-compiled generation loop (zero per-step
+        host sync — the analog of vLLM's CUDA-graph capture, which only helps
+        the uniform case too). Mixed params / oversubscribed batches use the
+        continuous-batching step loop.
+        """
+        params = params or SamplingParams()
+        if offline_fast_path and len(conds) <= self.max_batch:
+            return self._generate_compiled(conds, params)
         for c in conds:
             self.add_request(c, params)
         done: Dict[int, Request] = {}
@@ -130,6 +140,29 @@ class ServeEngine:
             for r in self.step():
                 done[r.request_id] = r
         return [done[i] for i in sorted(done)]
+
+    def _generate_compiled(self, conds, sp: SamplingParams) -> List[Request]:
+        from ..inference.generate import generate as compiled_generate
+        t_start = time.monotonic()
+        cond = jnp.asarray(np.stack([np.asarray(c) for c in conds]))
+        self.rng, r = jax.random.split(self.rng)
+        seqs = np.asarray(compiled_generate(
+            self.model_params, self.cfg, cond, r, sp.max_tokens,
+            cfg_scale=sp.cfg_scale, temperature=sp.temperature,
+            top_k=sp.top_k, top_p=sp.top_p))
+        out = []
+        now = time.monotonic()
+        for c, seq in zip(conds, seqs):
+            rid = self._next_id
+            self._next_id += 1
+            req = Request(rid, np.asarray(c), sp, tokens=seq.tolist(),
+                          arrival_t=t_start)
+            req.first_token_t = now
+            req.finish_t = now
+            out.append(req)
+            self.stats["requests_done"] += 1
+            self.stats["tokens_generated"] += len(req.tokens)
+        return out
 
     def has_unfinished(self) -> bool:
         return bool(self.queue) or any(s is not None for s in self.slots)
