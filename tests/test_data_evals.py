@@ -233,3 +233,25 @@ def test_clip_score_from_features():
     b = np.roll(a, 1, axis=0)
     s = clip_score_from_features(a, -a)
     assert s == 0.0
+
+
+def test_cost_estimators():
+    from video_llamagen_tpu.core.config import gpt_config, CausalVAEConfig
+    from video_llamagen_tpu.evals.cost import gpt_cost, causal_vae_cost
+    r = gpt_cost(gpt_config("GPT-B", vocab_size=16384, block_size=256,
+                            cls_token_num=1), batch=8)
+    d = r.as_dict()
+    assert 100 < d["params_M"] < 125          # ~111M
+    assert d["gflops_per_token"] > 0.2        # ~2*111M = 0.22 GF
+    assert d["kv_cache_MB"] > 0
+    v = causal_vae_cost(CausalVAEConfig(), 17, 256, 256).as_dict()
+    assert v["tflops_forward"] > 0.1
+
+
+def test_video_grid_and_save(tmp_path):
+    from video_llamagen_tpu.data.video_io import make_video_grid, save_video_grid
+    vids = np.random.RandomState(0).rand(3, 2, 8, 8, 3).astype(np.float32)
+    grid = make_video_grid(vids, nrow=2)
+    assert grid.shape[0] == 2 and grid.ndim == 4
+    out = save_video_grid(vids, str(tmp_path / "g.mp4"))
+    assert out is not None and os.path.exists(out)
