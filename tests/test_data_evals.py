@@ -255,3 +255,47 @@ def test_video_grid_and_save(tmp_path):
     assert grid.shape[0] == 2 and grid.ndim == 4
     out = save_video_grid(vids, str(tmp_path / "g.mp4"))
     assert out is not None and os.path.exists(out)
+
+
+def test_inception_helpers_and_bn_fold():
+    import jax
+    import torch
+    from video_llamagen_tpu.evals import inception as inc
+    # avg pool excludes padding: corner of a ones image stays 1.0
+    x = jnp.ones((1, 5, 5, 2))
+    p = np.asarray(inc._avg_pool_nopad(x))
+    np.testing.assert_allclose(p, 1.0, atol=1e-6)
+    # BN folding: conv(x)*scale+bias == batchnorm(conv(x))
+    sd = {
+        "c.conv.weight": torch.randn(4, 3, 1, 1),
+        "c.bn.weight": torch.rand(4) + 0.5,
+        "c.bn.bias": torch.randn(4),
+        "c.bn.running_mean": torch.randn(4),
+        "c.bn.running_var": torch.rand(4) + 0.5,
+    }
+    def conv_bn_import(prefix):
+        # reuse the internal folding from the importer
+        full = {f"{prefix}.conv.weight": sd["c.conv.weight"],
+                f"{prefix}.bn.weight": sd["c.bn.weight"],
+                f"{prefix}.bn.bias": sd["c.bn.bias"],
+                f"{prefix}.bn.running_mean": sd["c.bn.running_mean"],
+                f"{prefix}.bn.running_var": sd["c.bn.running_var"],
+                "fc.weight": torch.zeros(2, 2), "fc.bias": torch.zeros(2)}
+        return full
+    import torch.nn.functional as F
+    x_t = torch.randn(1, 3, 4, 4)
+    y_conv = F.conv2d(x_t, sd["c.conv.weight"])
+    y_bn = F.batch_norm(y_conv, sd["c.bn.running_mean"], sd["c.bn.running_var"],
+                        sd["c.bn.weight"], sd["c.bn.bias"], eps=1e-3)
+    want = torch.relu(y_bn).numpy()
+    # our folded path
+    w = sd["c.conv.weight"].numpy().transpose(2, 3, 1, 0)
+    gamma, beta = sd["c.bn.weight"].numpy(), sd["c.bn.bias"].numpy()
+    mean, var = sd["c.bn.running_mean"].numpy(), sd["c.bn.running_var"].numpy()
+    scale = gamma / np.sqrt(var + 1e-3)
+    bias = beta - mean * scale
+    got = np.asarray(inc._conv_bn(
+        {"kernel": jnp.asarray(w), "scale": jnp.asarray(scale),
+         "bias": jnp.asarray(bias)},
+        jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)), padding="VALID"))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-4)
