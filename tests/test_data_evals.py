@@ -299,3 +299,13 @@ def test_inception_helpers_and_bn_fold():
          "bias": jnp.asarray(bias)},
         jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)), padding="VALID"))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_metrics_writer(tmp_path):
+    import json
+    from video_llamagen_tpu.core.logging import MetricsWriter
+    w = MetricsWriter(str(tmp_path))
+    w.write(1, loss=2.5, note="ok")
+    w.write(2, loss=2.25)
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["loss"] == 2.5 and lines[1]["step"] == 2

@@ -10,6 +10,27 @@ from typing import Optional
 import jax
 
 
+class MetricsWriter:
+    """Append-only JSONL metrics stream (the TensorBoard-writer analog,
+    ref dataset/utils/utils.py:228-252 — greppable without TF)."""
+
+    def __init__(self, logging_dir: str, name: str = "metrics.jsonl"):
+        os.makedirs(logging_dir, exist_ok=True)
+        self._path = os.path.join(logging_dir, name)
+        self._active = jax.process_index() == 0
+
+    def write(self, step: int, **metrics):
+        if not self._active:
+            return
+        import json
+        import time as _time
+        rec = {"step": int(step), "time": _time.time()}
+        rec.update({k: (float(v) if hasattr(v, "__float__") else v)
+                    for k, v in metrics.items()})
+        with open(self._path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
 def create_logger(logging_dir: Optional[str] = None,
                   name: str = "video_llamagen_tpu") -> logging.Logger:
     """stdout + log.txt logger on process 0; silent elsewhere
