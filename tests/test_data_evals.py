@@ -309,3 +309,13 @@ def test_metrics_writer(tmp_path):
     w.write(2, loss=2.25)
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert lines[0]["loss"] == 2.5 and lines[1]["step"] == 2
+
+
+def test_caption_cleaning():
+    from video_llamagen_tpu.text.t5 import clean_caption, text_preprocessing
+    out = clean_caption("Check THIS out!! http://spam.example/x @user #1 <b>bold</b>")
+    assert "http" not in out and "@user" not in out and "<b>" not in out
+    assert out == out.lower()
+    assert "!!" not in out  # duplicate punctuation collapsed
+    # two-pass entry point
+    assert text_preprocessing("  HELLO   World  ") == "hello world"
