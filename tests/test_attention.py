@@ -151,3 +151,31 @@ def test_gpt3b_fsdp_sharding_lowers():
     rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
     lowered = step_fn.lower(state_shape, batch, jax.eval_shape(lambda: jax.random.key(0)))
     assert lowered is not None
+
+
+def test_dense_cache_paging_roundtrip():
+    from video_llamagen_tpu.ops.paged_attention import dense_cache_as_pages
+    rs = np.random.RandomState(0)
+    cache = jnp.asarray(rs.randn(2, 3, 8, 4).astype(np.float32))
+    pages, idx = dense_cache_as_pages(cache, page_size=4)
+    assert pages.shape == (3, 4, 4, 4)  # (KH, B*2pages, ps, D)
+    assert idx.shape == (2, 2)
+    # page idx[b, p] must map back to cache[b, :, p*ps:(p+1)*ps]
+    for b in range(2):
+        for p in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(pages[:, idx[b, p]]),
+                np.asarray(cache[b, :, p * 4:(p + 1) * 4]))
+
+
+def test_reference_decode_attention_lengths():
+    from video_llamagen_tpu.ops.paged_attention import reference_decode_attention
+    rs = np.random.RandomState(1)
+    q = jnp.asarray(rs.randn(1, 1, 2, 4).astype(np.float32))
+    ck = jnp.asarray(rs.randn(1, 2, 6, 4).astype(np.float32))
+    cv = jnp.asarray(rs.randn(1, 2, 6, 4).astype(np.float32))
+    # with length=3, changing positions >=3 must not affect the output
+    out1 = reference_decode_attention(q, ck, cv, jnp.asarray([3]))
+    ck2 = ck.at[:, :, 4].set(99.0)
+    out2 = reference_decode_attention(q, ck2, cv, jnp.asarray([3]))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
