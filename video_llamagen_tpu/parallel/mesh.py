@@ -19,6 +19,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import MeshConfig
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (the reference's init_distributed_mode analog,
+    utils/distributed.py:20-58 — NCCL env:// / SLURM rank derivation).
+
+    On TPU pods `jax.distributed.initialize()` autodetects everything from the
+    TPU metadata; explicit args cover GPU/CPU clusters. Call once per process
+    before building the mesh; afterwards jax.devices() spans all hosts and the
+    same pjit code runs SPMD (collectives ride ICI/DCN — no backend code)."""
+    import jax.distributed
+    if coordinator_address is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def sync_global_devices(tag: str = "barrier") -> None:
+    """Cross-host barrier (the reference's dist.barrier() after checkpoints,
+    train_t2v.py:396)."""
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
+
+
 def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[Any]] = None) -> Mesh:
     """Build a Mesh with axes (data, fsdp, tp, cp) over the given devices."""
     if devices is None:
