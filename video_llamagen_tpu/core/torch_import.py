@@ -308,16 +308,14 @@ def import_causal_vae_state_dict(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     dec["mid"] = {"res1": _res3d(sd, "decoder.mid.block_1"),
                   "attn": _attn3d(sd, "decoder.mid.attn_1"),
                   "res2": _res3d(sd, "decoder.mid.block_2")}
-    dlevels, ids = [], []
+    dlevels = []
     for i_level in reversed(range(n_levels)):
         level = {"res": [_res3d(sd, f"decoder.up.{i_level}.block.{j}")
                          for j in range(cfg.num_res_blocks + 1)]}
         if i_level != 0:
             level["upsample"] = _cconv(sd, f"decoder.up.{i_level}.upsample.conv")
         dlevels.append(level)
-        ids.append(i_level)
     dec["levels"] = dlevels
-    dec["level_ids"] = tuple(ids)
     dnorm_key = "decoder.norm_out.norm" \
         if "decoder.norm_out.norm.weight" in sd else "decoder.norm_out"
     dec["norm_out"] = _gn(sd, dnorm_key)

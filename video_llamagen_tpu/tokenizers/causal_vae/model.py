@@ -241,7 +241,6 @@ def init_decoder(rng, cfg: CausalVAEConfig) -> Params:
             level["upsample"] = _init_cconv(next(r), 1, 3, 3, cout, cout)
         levels.append((i_level, level))
     p["levels"] = [lv for _, lv in levels]
-    p["level_ids"] = tuple(i for i, _ in levels)
     p["norm_out"] = _init_gn(cin)
     p["conv_out"] = _init_cconv(next(r), 3, 3, 3, cin, cfg.out_channels)
     return p
@@ -260,7 +259,8 @@ def decoder_forward(p: Params, cfg: CausalVAEConfig, z: jnp.ndarray) -> jnp.ndar
     h = attn3d(p["mid"]["attn"], h)
     h = resnet3d(p["mid"]["res2"], h)
     tu = _decoder_time_up_levels(cfg)
-    for i_level, level in zip(p["level_ids"], p["levels"]):
+    level_ids = tuple(reversed(range(len(cfg.ch_mult))))  # execution order
+    for i_level, level in zip(level_ids, p["levels"]):
         for rb in level["res"]:
             h = resnet3d(rb, h)
         if i_level != 0:

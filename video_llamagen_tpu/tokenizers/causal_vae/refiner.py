@@ -61,7 +61,6 @@ def init_refiner_params(rng: jax.Array, cfg: CausalVAEConfig) -> Params:
             level["upsample"] = _init_cconv(next(r), 1, 3, 3, cout, cout)
         dec_levels.append((i_level, level))
     p["dec_levels"] = [lv for _, lv in dec_levels]
-    p["dec_level_ids"] = tuple(i for i, _ in dec_levels)
     p["norm_out"] = _init_gn(cin)
     p["conv_out"] = _init_cconv(next(r), 3, 3, 3, cin, cfg.out_channels)
     return p
@@ -86,7 +85,8 @@ def refine(params: Params, cfg: CausalVAEConfig, x: jnp.ndarray) -> jnp.ndarray:
     h = resnet3d(params["mid"]["res2"], h)
 
     tu = _decoder_time_up_levels(cfg)
-    for i_level, level in zip(params["dec_level_ids"], params["dec_levels"]):
+    dec_level_ids = tuple(reversed(range(len(cfg.ch_mult))))
+    for i_level, level in zip(dec_level_ids, params["dec_levels"]):
         # fuse the mirrored encoder feature when spatio-temporally aligned
         # (alignment depends on where time-downsamples sit; guarded fusion
         # keeps every topology shape-correct)
