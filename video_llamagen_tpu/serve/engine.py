@@ -10,7 +10,14 @@ TPU-first architecture (SURVEY.md §7.8): instead of paged KV blocks + CUDA
 graphs, a dense slot-indexed KV cache with static shapes drives two compiled
 programs — `prefill_into_slot` (admission) and `decode_step_multi` (one step
 for every active slot, per-slot positions). The Python here is only
-bookkeeping, exactly like vLLM's scheduler; all math is jitted.
+bookkeeping, exactly like vLLM's scheduler; all math is jitted. Uniform
+offline batches take a zero-host-sync fast path through the fully-compiled
+generation loop.
+
+Measured (tunneled v5e-class chip, ~1/6 the HBM BW of a real v5e):
+GPT-B batch-8 @576 tokens offline = 1.84 s -> 2498 tok/s, vs the reference's
+vLLM-on-A100 2.39 s (serve/README.md:12). The per-step-sync continuous path
+is tunnel-latency-bound here; on local chips the sync is microseconds.
 """
 
 from __future__ import annotations
