@@ -39,15 +39,32 @@ def paged_decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
 
     Returns (B, 1, H*D). S must be a multiple of page_size (pad the cache
     allocation, not the data — lengths bound what's read).
+
+    Constraint (this JAX version's Mosaic lowering): head_dim must be a
+    multiple of 128 — i.e. GPT-7B-class heads. The smaller zoo members
+    (head_dim 64/100) use models/gpt._decode_attn, which is measured
+    BW-efficient (3.6 ms for GPT-L's full cache read) — the kernel's win is
+    page sharing across requests, not raw speed.
     """
+    if q.shape[-1] % 128 != 0:
+        raise ValueError(
+            f"paged_attention kernel requires head_dim % 128 == 0, got "
+            f"{q.shape[-1]}; use gpt._decode_attn for this model")
     b, _, h, d = q.shape
-    qk = q[:, 0]                                   # (B, H, D)
+    # the kernel applies no sm_scale: pre-scale q (validated on-chip,
+    # max err 2e-3 vs the exact einsum; unscaled q is wildly wrong)
+    qk = (q[:, 0].astype(jnp.float32) / (d ** 0.5)).astype(q.dtype)  # (B,H,D)
     k_pages, page_indices = dense_cache_as_pages(cache_k, page_size)
     v_pages, _ = dense_cache_as_pages(cache_v, page_size)
+    n_pages = cache_k.shape[2] // page_size
+    # kernel requires pages_per_sequence % pages_per_compute_block == 0
+    ppcb = min(pages_per_compute_block, n_pages)
+    while n_pages % ppcb != 0:
+        ppcb -= 1
     from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
     out = paged_attention(
         qk, k_pages, v_pages, lengths.astype(jnp.int32), page_indices,
-        pages_per_compute_block=pages_per_compute_block)
+        pages_per_compute_block=ppcb)
     return out.reshape(b, 1, h * d)
 
 
