@@ -108,3 +108,27 @@ def test_engine_offline_fast_path_matches_step_path(params):
     eng2 = ServeEngine(params, TINY, max_batch=2)
     slow = eng2.generate([4], sp, offline_fast_path=False)[0].tokens
     assert fast == slow, (fast, slow)
+
+
+def test_engine_t2i_emb_mask():
+    """t2i requests with padded text: padded columns masked in prefill+decode."""
+    from video_llamagen_tpu.models import gpt as gpt_mod
+    cfg = TINY.replace(model_type="t2i", cls_token_num=4, caption_dim=16)
+    p = gpt_mod.init_gpt_params(jax.random.key(2), cfg)
+    p = dict(p)
+    p["output"] = jax.random.normal(jax.random.key(9), p["output"].shape) * 0.02
+    eng = ServeEngine(p, cfg, max_batch=2)
+    cond = np.random.RandomState(0).randn(4, 16).astype(np.float32)
+    emb_mask = np.array([0, 0, 1, 1], np.float32)
+    eng.add_request(cond, SamplingParams(max_tokens=4, top_k=1), emb_mask=emb_mask)
+    done = []
+    while eng.has_unfinished():
+        done += eng.step()
+    assert len(done) == 1 and len(done[0].tokens) == 4
+    # cross-check against the compiled generate with the same mask
+    from video_llamagen_tpu.inference.generate import generate
+    want = np.asarray(generate(p, cfg, jnp.asarray(cond)[None],
+                               jax.random.key(0), 4,
+                               emb_masks=jnp.asarray(emb_mask)[None],
+                               cfg_scale=1.0, sample_logits=False))[0].tolist()
+    assert done[0].tokens == want, (done[0].tokens, want)

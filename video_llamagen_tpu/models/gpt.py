@@ -444,7 +444,8 @@ def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
 
 def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
                       pos: jnp.ndarray, cache, active: jnp.ndarray,
-                      freqs_cis: jnp.ndarray):
+                      freqs_cis: jnp.ndarray,
+                      col_valid: Optional[jnp.ndarray] = None):
     """Continuous-batching decode: PER-SLOT positions (serving hot loop).
 
     token_emb: (B, 1, dim); pos: (B,) int32 absolute position per slot;
@@ -461,7 +462,10 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
     freqs_b = freqs_cis[pos][:, None]
 
     col_ids = jnp.arange(s_max)
-    mask = (col_ids[None, :] <= pos[:, None])[:, None, None, :]  # (B,1,1,S)
+    cols = col_ids[None, :] <= pos[:, None]                      # (B, S)
+    if col_valid is not None:
+        cols = cols & col_valid  # padded-text columns masked (t2i serving)
+    mask = cols[:, None, None, :]                                # (B,1,1,S)
 
     n_rep = cfg.n_head // cfg.kv_heads
     h = token_emb
@@ -509,14 +513,18 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
 
 def prefill_into_slot(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
                       slot: jnp.ndarray, cache,
-                      freqs_cis: jnp.ndarray):
+                      freqs_cis: jnp.ndarray,
+                      prefill_mask: Optional[jnp.ndarray] = None):
     """Prefill ONE request's conditioning into batch row `slot` of the cache.
 
-    cond_emb: (1, T, dim). Returns (last_logits (1, vocab), cache).
+    cond_emb: (1, T, dim); prefill_mask: optional bool (1,1,T,T) with the
+    padded-text/forced-diagonal surgery (t2i serving). Returns
+    (last_logits (1, vocab), cache).
     """
     t = cond_emb.shape[1]
     freqs = freqs_cis[:t]
-    mask = make_causal_mask(t)[None, None]
+    mask = prefill_mask if prefill_mask is not None \
+        else make_causal_mask(t)[None, None]
     n_rep = cfg.n_head // cfg.kv_heads
     h = cond_emb
 

@@ -106,6 +106,8 @@ class ServeEngine:
         self.queue: collections.deque[Request] = collections.deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.pos = np.zeros(self.rows, np.int32)
+        # per-row attention-column validity (padded t2i text masked out)
+        self.col_valid = np.ones((self.rows, self.max_seq), bool)
         self.rng = jax.random.key(0)
         self._next_id = 0
         self.stats = {"requests_done": 0, "tokens_generated": 0,
@@ -186,10 +188,23 @@ class ServeEngine:
             cond_j = jnp.asarray(req.cond)[None]
             cond_emb = gpt.embed_cond(self.model_params, self.cfg, cond_j,
                                       train=False, dtype=self.dtype)
+            # padded-text mask surgery for t2i conditioning
+            # (ref generate.py:156-165 semantics, per request row)
+            prefill_mask = None
+            self.col_valid[row_c] = True
+            self.col_valid[row_u] = True
+            if req.emb_mask is not None:
+                emb = np.asarray(req.emb_mask, bool)
+                t = len(emb)
+                m = np.tril(np.ones((t, t), bool)) & emb[None, :]
+                m |= np.eye(t, dtype=bool)
+                prefill_mask = jnp.asarray(m[None, None])
+                self.col_valid[row_c, :t] = emb
+                self.col_valid[row_u, :t] = emb
             logits, self.cache = self._prefill(
                 params=self.model_params, cond_emb=cond_emb,
                 slot=jnp.asarray(row_c), cache=self.cache,
-                freqs_cis=self.freqs_cis)
+                freqs_cis=self.freqs_cis, prefill_mask=prefill_mask)
             if req.params.cfg_scale > 1.0:
                 if self.cfg.model_type == "c2i":
                     null = jnp.full_like(cond_j, self.cfg.num_classes)
@@ -201,7 +216,7 @@ class ServeEngine:
                 logits_u, self.cache = self._prefill(
                     params=self.model_params, cond_emb=null_emb,
                     slot=jnp.asarray(row_u), cache=self.cache,
-                    freqs_cis=self.freqs_cis)
+                    freqs_cis=self.freqs_cis, prefill_mask=prefill_mask)
                 both = jnp.concatenate([logits, logits_u], axis=0)
                 mixed = cfg_mix(both, req.params.cfg_scale)
             else:
@@ -238,7 +253,8 @@ class ServeEngine:
         logits, self.cache = self._decode(
             params=self.model_params, token_emb=tok_emb,
             pos=jnp.asarray(self.pos), cache=self.cache,
-            active=jnp.asarray(active), freqs_cis=self.freqs_cis)
+            active=jnp.asarray(active), freqs_cis=self.freqs_cis,
+            col_valid=jnp.asarray(self.col_valid))
 
         # one fused CFG-mix + per-request sampling dispatch for the whole batch
         cfg_scales = np.ones(self.max_batch, np.float32)
