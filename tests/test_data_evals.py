@@ -319,3 +319,30 @@ def test_caption_cleaning():
     assert "!!" not in out  # duplicate punctuation collapsed
     # two-pass entry point
     assert text_preprocessing("  HELLO   World  ") == "hello world"
+
+
+def test_checkpoint_trainstate_roundtrip(tmp_path):
+    import jax
+    from video_llamagen_tpu.core.checkpoint import CheckpointManager
+    from video_llamagen_tpu.core.config import GPTConfig, TrainConfig
+    from video_llamagen_tpu.train.train_state import create_train_state
+    cfg = GPTConfig(dim=32, n_layer=2, n_head=2, vocab_size=64, num_classes=4,
+                    block_size=16, cls_token_num=1, model_type="c2i",
+                    dtype="float32")
+    tcfg = TrainConfig(ema=True)
+    state = create_train_state(jax.random.key(0), cfg, tcfg)
+    state = state._replace(step=state.step + 7)
+    cm = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2,
+                           async_save=False)
+    cm.save(7, state._asdict())
+    cm.wait()
+    fresh = create_train_state(jax.random.key(1), cfg, tcfg)
+    restored = cm.restore(fresh._asdict())
+    assert int(restored["step"]) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["tok_embeddings"]),
+        np.asarray(state.params["tok_embeddings"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored["ema_params"]["norm"]),
+        np.asarray(state.ema_params["norm"]))
+    cm.close()

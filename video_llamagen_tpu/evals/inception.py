@@ -13,7 +13,7 @@ Outputs: 2048-d pool3 features (FID), 768-d spatial mixed-6 features pooled
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 import jax
@@ -45,12 +45,6 @@ def _avg_pool_nopad(x: jnp.ndarray, k: int = 3) -> jnp.ndarray:
 def _max_pool(x: jnp.ndarray, k: int = 3, s: int = 2) -> jnp.ndarray:
     return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, k, k, 1),
                                  (1, s, s, 1), "VALID")
-
-
-def _branch(p: Params, x, names) -> jnp.ndarray:
-    for name, stride, padding in names:
-        x = _conv_bn(p[name], x, stride, padding)
-    return x
 
 
 def _inception_a(p: Params, x) -> jnp.ndarray:
