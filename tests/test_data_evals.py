@@ -346,3 +346,19 @@ def test_checkpoint_trainstate_roundtrip(tmp_path):
         np.asarray(restored["ema_params"]["norm"]),
         np.asarray(state.ema_params["norm"]))
     cm.close()
+
+
+def test_inception_forward_wiring():
+    """Random-init InceptionV3: full forward produces the right taps."""
+    import jax
+    from video_llamagen_tpu.evals.inception import (
+        init_inception_params, inception_forward)
+    p = init_inception_params(jax.random.key(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 299, 299, 3)
+                    .astype(np.float32))
+    pool3, spatial, probs = inception_forward(p, x)
+    assert pool3.shape == (1, 2048)
+    assert spatial.shape[0] == 1 and spatial.shape[-1] == 768
+    assert probs.shape == (1, 1008)
+    np.testing.assert_allclose(float(probs.sum()), 1.0, rtol=1e-4)
+    assert np.isfinite(np.asarray(pool3)).all()

@@ -189,6 +189,84 @@ def import_inception_state_dict(sd: Dict[str, Any]) -> Params:
     return params
 
 
+# Channel/kernel spec (torchvision inception_v3 topology) — used by the
+# random init below so the forward wiring is testable without weights.
+def init_inception_params(rng: jax.Array, n_classes: int = 1008) -> Params:
+    keys = iter(jax.random.split(rng, 128))
+
+    def cb(kh, kw, cin, cout):
+        k = jax.random.normal(next(keys), (kh, kw, cin, cout)) * 0.05
+        return {"kernel": k.astype(jnp.float32),
+                "scale": jnp.ones((cout,), jnp.float32),
+                "bias": jnp.zeros((cout,), jnp.float32)}
+
+    p: Params = {
+        "Conv2d_1a_3x3": cb(3, 3, 3, 32),
+        "Conv2d_2a_3x3": cb(3, 3, 32, 32),
+        "Conv2d_2b_3x3": cb(3, 3, 32, 64),
+        "Conv2d_3b_1x1": cb(1, 1, 64, 80),
+        "Conv2d_4a_3x3": cb(3, 3, 80, 192),
+    }
+
+    def block_a(cin, pool_ch):
+        return {"branch1x1": cb(1, 1, cin, 64),
+                "branch5x5_1": cb(1, 1, cin, 48),
+                "branch5x5_2": cb(5, 5, 48, 64),
+                "branch3x3dbl_1": cb(1, 1, cin, 64),
+                "branch3x3dbl_2": cb(3, 3, 64, 96),
+                "branch3x3dbl_3": cb(3, 3, 96, 96),
+                "branch_pool": cb(1, 1, cin, pool_ch)}
+
+    p["Mixed_5b"] = block_a(192, 32)    # -> 256
+    p["Mixed_5c"] = block_a(256, 64)    # -> 288
+    p["Mixed_5d"] = block_a(288, 64)    # -> 288
+    p["Mixed_6a"] = {"branch3x3": cb(3, 3, 288, 384),
+                     "branch3x3dbl_1": cb(1, 1, 288, 64),
+                     "branch3x3dbl_2": cb(3, 3, 64, 96),
+                     "branch3x3dbl_3": cb(3, 3, 96, 96)}  # -> 768
+
+    def block_c(c7):
+        return {"branch1x1": cb(1, 1, 768, 192),
+                "branch7x7_1": cb(1, 1, 768, c7),
+                "branch7x7_2": cb(1, 7, c7, c7),
+                "branch7x7_3": cb(7, 1, c7, 192),
+                "branch7x7dbl_1": cb(1, 1, 768, c7),
+                "branch7x7dbl_2": cb(7, 1, c7, c7),
+                "branch7x7dbl_3": cb(1, 7, c7, c7),
+                "branch7x7dbl_4": cb(7, 1, c7, c7),
+                "branch7x7dbl_5": cb(1, 7, c7, 192),
+                "branch_pool": cb(1, 1, 768, 192)}
+
+    p["Mixed_6b"] = block_c(128)
+    p["Mixed_6c"] = block_c(160)
+    p["Mixed_6d"] = block_c(160)
+    p["Mixed_6e"] = block_c(192)
+    p["Mixed_7a"] = {"branch3x3_1": cb(1, 1, 768, 192),
+                     "branch3x3_2": cb(3, 3, 192, 320),
+                     "branch7x7x3_1": cb(1, 1, 768, 192),
+                     "branch7x7x3_2": cb(1, 7, 192, 192),
+                     "branch7x7x3_3": cb(7, 1, 192, 192),
+                     "branch7x7x3_4": cb(3, 3, 192, 192)}  # -> 1280
+
+    def block_e(cin):
+        return {"branch1x1": cb(1, 1, cin, 320),
+                "branch3x3_1": cb(1, 1, cin, 384),
+                "branch3x3_2a": cb(1, 3, 384, 384),
+                "branch3x3_2b": cb(3, 1, 384, 384),
+                "branch3x3dbl_1": cb(1, 1, cin, 448),
+                "branch3x3dbl_2": cb(3, 3, 448, 384),
+                "branch3x3dbl_3a": cb(1, 3, 384, 384),
+                "branch3x3dbl_3b": cb(3, 1, 384, 384),
+                "branch_pool": cb(1, 1, cin, 192)}
+
+    p["Mixed_7b"] = block_e(1280)       # -> 2048
+    p["Mixed_7c"] = block_e(2048)       # -> 2048
+    p["fc"] = {"w": (jax.random.normal(next(keys), (2048, n_classes))
+                     * 0.01).astype(jnp.float32),
+               "b": jnp.zeros((n_classes,), jnp.float32)}
+    return p
+
+
 def load_inception_checkpoint(path: str) -> Params:
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=False)
