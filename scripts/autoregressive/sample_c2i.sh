@@ -1,0 +1,3 @@
+#!/bin/bash
+set -e
+python -m video_llamagen_tpu.inference.sample_c2i "$@"

@@ -117,3 +117,15 @@ def test_generate_maskgit_no_cfg():
     lat = generate_video.generate_maskgit(params, cfg, cond, jax.random.key(2),
                                           num_iter=2, cfg_scale=1.0)
     assert lat.shape == (1, SEQ, cfg.vae_embed_dim)
+
+
+def test_generate_ar_bf16():
+    """Samplers also run in the production bf16 dtype."""
+    cfg = make_cfg("diff").replace(dtype="bfloat16")
+    params = gpt_video.init_video_gpt_params(jax.random.key(0), cfg)
+    cond = jax.random.normal(jax.random.key(1), (1, cfg.cls_token_num,
+                                                 cfg.caption_dim))
+    lat = generate_video.generate_ar(params, cfg, cond, jax.random.key(2),
+                                     cfg_scale=1.5)
+    assert lat.shape == (1, SEQ, cfg.vae_embed_dim)
+    assert np.isfinite(np.asarray(lat)).all()
