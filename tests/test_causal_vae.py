@@ -139,3 +139,19 @@ def test_refiner_roundtrip_shape():
     out = refiner.refine(p, TINY, x)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiled_encode_spatial(params):
+    """Tiled spatial encode covers the full image; interior matches untiled."""
+    cfg = TINY.replace(tile_sample_min_size=16, tile_overlap_factor=0.25)
+    x = jax.random.normal(jax.random.key(8), (1, 3, 32, 32, 3))
+    z_tiled = cv.tiled_encode_spatial(params, cfg, x)
+    z_full = cv.encode(params, cfg, x).mode()
+    assert z_tiled.shape[1] == z_full.shape[1]
+    # same latent channel count; spatial extent within one tile-trim of full
+    assert abs(z_tiled.shape[2] - z_full.shape[2]) <= 4
+    # first tile interior (away from seams) matches the untiled encode of
+    # the same region
+    z_first = cv.encode(params, cfg, x[:, :, :16, :16]).mode()
+    np.testing.assert_allclose(np.asarray(z_tiled[:, :, :4, :4]),
+                               np.asarray(z_first[:, :, :4, :4]), atol=1e-4)

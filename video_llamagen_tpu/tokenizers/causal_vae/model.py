@@ -383,6 +383,45 @@ def _blend_h(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
     return a[:, :, :, -extent:] * (1 - w) + b[:, :, :, :extent] * w
 
 
+def tiled_encode_spatial(params: Params, cfg: CausalVAEConfig,
+                         x: jnp.ndarray,
+                         rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Spatial tiling for ENCODE with latent-space seam blending
+    (ref modeling_causalvae.py tiled_encode2d)."""
+    sf = cfg.spatial_compress
+    tile = cfg.tile_sample_min_size
+    overlap = int(tile * cfg.tile_overlap_factor)
+    stride = tile - overlap
+    blend = int((tile // sf) * cfg.tile_overlap_factor)
+    row_limit = tile // sf - blend
+
+    rows = []
+    for i in range(0, x.shape[2], stride):
+        row = []
+        for j in range(0, x.shape[3], stride):
+            patch = x[:, :, i:i + tile, j:j + tile]
+            post = encode(params, cfg, patch)
+            z = post.mode() if rng is None else post.sample(
+                jax.random.fold_in(rng, i * 131071 + j))
+            row.append(z)
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, t in enumerate(row):
+            if i > 0:
+                blended = _blend_v(rows[i - 1][j], t, blend)
+                t = jnp.concatenate([blended, t[:, :, blend:]], axis=2)
+            if j > 0:
+                blended = _blend_h(result_row[j - 1], t, blend)
+                t = jnp.concatenate([blended, t[:, :, :, blend:]], axis=3)
+            result_row.append(t)
+        result_rows.append(jnp.concatenate(
+            [t[:, :, :row_limit, :row_limit] for t in result_row], axis=3))
+    return jnp.concatenate(result_rows, axis=2)
+
+
 def tiled_decode_spatial(params: Params, cfg: CausalVAEConfig,
                          z: jnp.ndarray) -> jnp.ndarray:
     """Spatial tiling with blended seams (ref modeling_causalvae.py:520-570)."""
