@@ -129,3 +129,15 @@ def test_generate_ar_bf16():
                                      cfg_scale=1.5)
     assert lat.shape == (1, SEQ, cfg.vae_embed_dim)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_mse_shuffle_tokens():
+    cfg = make_cfg("mse")
+    params = gpt_video.init_video_gpt_params(jax.random.key(0), cfg)
+    latents = jax.random.normal(jax.random.key(1), (2, SEQ, cfg.vae_embed_dim))
+    cond = jax.random.normal(jax.random.key(2), (2, cfg.cls_token_num,
+                                                 cfg.caption_dim))
+    _, loss = gpt_video.forward_train_mse(params, cfg, latents, cond,
+                                          jax.random.key(3),
+                                          shuffle_tokens=True)
+    assert np.isfinite(float(loss))

@@ -151,14 +151,33 @@ def trunk_forward(params: Params, cfg: GPTConfig,
 
 def forward_train_mse(params: Params, cfg: GPTConfig, video_latent: jnp.ndarray,
                       cond_embed: jnp.ndarray, rng: jax.Array,
-                      mask: Optional[jnp.ndarray] = None):
+                      mask: Optional[jnp.ndarray] = None,
+                      shuffle_tokens: bool = False):
     """MSE next-latent prediction (ref gpt_video.py:440-447).
 
     video_latent: (B, L, vae_dim) — full latents; inputs are [:, :-1].
     Returns (pred (B, L, vae_dim), loss).
+
+    shuffle_tokens: the reference's batch-shared random token-order shuffle
+    with matching RoPE-table gather (gpt_video.py:374-401), implemented
+    correctly: targets and freqs permute together, so the model learns
+    any-order generation (the reference's inference-side restore uses an
+    undefined ids_restore — here training is self-consistent and inference
+    simply uses raster order).
     """
+    if shuffle_tokens:
+        r_shuf, rng = jax.random.split(rng)
+        l = video_latent.shape[1]
+        order = jax.random.permutation(r_shuf, l)      # shared across batch
+        video_latent = video_latent[:, order]
+        freqs = video_freqs(cfg)
+        visual = freqs[cfg.cls_token_num:][order]
+        freqs_cis = jnp.concatenate([freqs[: cfg.cls_token_num], visual], 0)
+    else:
+        freqs_cis = None
     inputs = video_latent[:, :-1]
-    h = trunk_forward(params, cfg, inputs, cond_embed, mask, rng, train=True)
+    h = trunk_forward(params, cfg, inputs, cond_embed, mask, rng, train=True,
+                      freqs_cis=freqs_cis)
     h = _adapter(params["vae_latent_adapter2"], h)
     pred = h[:, cfg.cls_token_num - 1:]
     loss = jnp.mean((pred.astype(jnp.float32)
