@@ -61,17 +61,31 @@ def multi_head_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
-    # flash kernel wants seq multiples of its block size; fall back for tiny
-    if use_flash and q.shape[1] >= 128 and q.shape[-1] % 128 == 0:
-        bias = None
-        if mask is not None:
-            bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
-            b, s = q.shape[0], q.shape[1]
-            bias = jnp.broadcast_to(bias, (b, 1, s, s))
-            bias = jnp.broadcast_to(bias, (b, q.shape[2], s, s))
-            causal = False  # mask already encodes causality
-        return flash_attention_tpu(q, k, v, causal=causal, bias=bias,
-                                   scale=scale)
+    # flash kernel wants seq >= a block and lane-aligned head_dim; verified
+    # on-chip for head_dim 64 (fwd+bwd, max err ~7e-3 bf16) and 128
+    if use_flash and q.shape[1] >= 128 and q.shape[-1] % 64 == 0:
+        s = q.shape[1]
+        pad = (-s) % 128  # kernel needs seq % block(128) == 0
+        if pad and mask is None and causal:
+            # tail padding is sound for pure-causal attention: padded keys sit
+            # AFTER every real query (never visible), padded queries' outputs
+            # are sliced off below
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            out = flash_attention_tpu(qp, kp, vp, causal=True, scale=scale)
+            return out[:, :s]
+        if pad == 0:
+            bias = None
+            if mask is not None:
+                bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+                b = q.shape[0]
+                bias = jnp.broadcast_to(bias, (b, 1, s, s))
+                bias = jnp.broadcast_to(bias, (b, q.shape[2], s, s))
+                causal = False  # mask already encodes causality
+            return flash_attention_tpu(q, k, v, causal=causal, bias=bias,
+                                       scale=scale)
+        # unaligned + dense mask: exact einsum fallback below
     if mask is None and causal:
         s = q.shape[1]
         mask = jnp.tril(jnp.ones((s, s), jnp.bool_))[None, None]
