@@ -272,8 +272,9 @@ def forward(params: Params, cfg: GPTConfig,
         freqs_cis = precompute_freqs_2d(cfg.grid_size, cfg.head_dim, cfg.rope_base,
                                         cfg.cls_token_num)
     freqs = freqs_cis[:seq_len]
-    if mask is None:
-        mask = make_causal_mask(seq_len)[None, None]
+    # mask stays None for the pure-causal case: ops/attention then uses the
+    # flash kernel (no (S,S) mask materialization); block_forward's dispatcher
+    # applies causality itself
 
     dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.n_layer)
 

@@ -129,8 +129,7 @@ def trunk_forward(params: Params, cfg: GPTConfig,
     if freqs_cis is None:
         freqs_cis = video_freqs(cfg)
     freqs = freqs_cis[:seq]
-    if mask is None:
-        mask = gpt.make_causal_mask(seq)[None, None]
+    # mask None -> causal handled inside the attention dispatcher (flash path)
 
     dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.n_layer)
 
