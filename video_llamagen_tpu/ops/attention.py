@@ -61,9 +61,11 @@ def multi_head_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
-    # flash kernel wants seq >= a block and lane-aligned head_dim; verified
-    # on-chip for head_dim 64 (fwd+bwd, max err ~7e-3 bf16) and 128
-    if use_flash and q.shape[1] >= 128 and q.shape[-1] % 64 == 0:
+    # flash kernel: verified on-chip for head_dim 64 (fwd+bwd, err ~7e-3) and
+    # 128. Length-aware dispatch (measured, GPT-B train): at seq 256 XLA's
+    # fused einsum wins (154 vs 240 ms/step); at seq 5240 flash wins 3.7x
+    # (1574 -> 427 ms/step) by never materializing the (S,S) scores.
+    if use_flash and q.shape[1] >= 1024 and q.shape[-1] % 64 == 0:
         s = q.shape[1]
         pad = (-s) % 128  # kernel needs seq % block(128) == 0
         if pad and mask is None and causal:
