@@ -84,10 +84,13 @@ class ServeEngine:
     llm_engine.py LLMEngine collapsed into one TPU-friendly class)."""
 
     def __init__(self, params, cfg: GPTConfig, max_batch: int = 8,
-                 max_seq: Optional[int] = None, dtype=None, mesh=None):
+                 max_seq: Optional[int] = None, dtype=None, mesh=None,
+                 kv_int8: bool = False):
         """`mesh`: optional jax Mesh — params are laid out by the tp/fsdp
         sharding rules (parallel/mesh.py) and the compiled prefill/decode
-        steps run SPMD over it (the vLLM tensor_parallel_size analog)."""
+        steps run SPMD over it (the vLLM tensor_parallel_size analog).
+        `kv_int8`: store the KV cache as per-token int8 — half the HBM, so
+        2x the slots/context at fixed memory (vLLM kv_cache_dtype analog)."""
         self.cfg = cfg
         self.dtype = jnp.dtype(dtype or cfg.dtype)
         self.model_params = gpt.cast_params(params, self.dtype)
@@ -101,7 +104,10 @@ class ServeEngine:
         self.max_seq = max_seq or (t_cond + cfg.block_size)
         self.freqs_cis = precompute_freqs_2d(cfg.grid_size, cfg.head_dim,
                                              cfg.rope_base, t_cond)
-        self.cache = gpt.init_kv_cache(cfg, self.rows, self.max_seq, self.dtype)
+        self.kv_int8 = kv_int8
+        self.cache = (
+            gpt.init_kv_cache_int8(cfg, self.rows, self.max_seq) if kv_int8
+            else gpt.init_kv_cache(cfg, self.rows, self.max_seq, self.dtype))
 
         self.queue: collections.deque[Request] = collections.deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -158,7 +164,7 @@ class ServeEngine:
         seqs = np.asarray(compiled_generate(
             self.model_params, self.cfg, cond, r, sp.max_tokens,
             cfg_scale=sp.cfg_scale, temperature=sp.temperature,
-            top_k=sp.top_k, top_p=sp.top_p))
+            top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8))
         out = []
         now = time.monotonic()
         for c, seq in zip(conds, seqs):
