@@ -85,7 +85,7 @@ class ServeEngine:
 
     def __init__(self, params, cfg: GPTConfig, max_batch: int = 8,
                  max_seq: Optional[int] = None, dtype=None, mesh=None,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False, prefix_cache_size: int = 32):
         """`mesh`: optional jax Mesh — params are laid out by the tp/fsdp
         sharding rules (parallel/mesh.py) and the compiled prefill/decode
         steps run SPMD over it (the vLLM tensor_parallel_size analog).
@@ -124,6 +124,66 @@ class ServeEngine:
                                 static_argnames=())
         self._decode = jax.jit(functools.partial(gpt.decode_step_multi,
                                                  cfg=cfg))
+
+        # automatic prefix caching (vLLM enable_prefix_caching analog): the
+        # prefilled conditioning KV rows + first logits are content-addressed
+        # by (cond, emb_mask) and copied into new slots instead of recomputing
+        # prefill. The CFG uncond row is shared across ALL requests with the
+        # same mask shape — with guidance on, every admit after the first
+        # saves at least that prefill.
+        self.prefix_cache_size = prefix_cache_size
+        self.prefix_cache: "collections.OrderedDict[bytes, Any]" = \
+            collections.OrderedDict()
+        self.stats["prefix_hits"] = 0
+        self.stats["prefix_misses"] = 0
+
+    # ---------------------------------------------------------- prefix cache
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("t",))
+    def _extract_rows(cache, slot, t: int):
+        """Copy one slot's first t KV rows out of every layer's cache entry
+        (works for bf16 {k,v} and int8 {k,k_scale,v,v_scale} entries)."""
+        return [{name: jax.lax.dynamic_slice(
+                    a, (slot, 0, 0, 0),
+                    (1, a.shape[1], t, a.shape[3]))
+                 for name, a in entry.items()} for entry in cache]
+
+    @staticmethod
+    @jax.jit
+    def _insert_rows(cache, rows, slot):
+        """Write stored KV rows into `slot` across all layers."""
+        return [{name: jax.lax.dynamic_update_slice(
+                    entry[name], r[name], (slot, 0, 0, 0))
+                 for name in entry} for entry, r in zip(cache, rows)]
+
+    def _prefix_key(self, cond, emb_mask, uncond: bool) -> bytes:
+        c = b"U" if uncond else np.ascontiguousarray(np.asarray(cond)).tobytes()
+        m = b"" if emb_mask is None else \
+            np.ascontiguousarray(np.asarray(emb_mask, bool)).tobytes()
+        return c + b"|" + m
+
+    def _prefill_cached(self, key: bytes, cond_emb, row: int, prefill_mask):
+        """Prefill via the prefix cache: on hit copy rows, on miss run the
+        model and remember (rows, logits) with LRU eviction."""
+        if self.prefix_cache_size > 0 and key in self.prefix_cache:
+            rows, logits = self.prefix_cache[key]
+            self.prefix_cache.move_to_end(key)
+            self.cache = self._insert_rows(self.cache, rows,
+                                           jnp.asarray(row))
+            self.stats["prefix_hits"] += 1
+            return logits
+        logits, self.cache = self._prefill(
+            params=self.model_params, cond_emb=cond_emb,
+            slot=jnp.asarray(row), cache=self.cache,
+            freqs_cis=self.freqs_cis, prefill_mask=prefill_mask)
+        self.stats["prefix_misses"] += 1
+        if self.prefix_cache_size > 0:
+            rows = self._extract_rows(self.cache, jnp.asarray(row),
+                                      cond_emb.shape[1])
+            self.prefix_cache[key] = (rows, logits)
+            while len(self.prefix_cache) > self.prefix_cache_size:
+                self.prefix_cache.popitem(last=False)
+        return logits
 
     # ------------------------------------------------------------- request API
     def add_request(self, cond, params: Optional[SamplingParams] = None,
@@ -207,10 +267,9 @@ class ServeEngine:
                 prefill_mask = jnp.asarray(m[None, None])
                 self.col_valid[row_c, :t] = emb
                 self.col_valid[row_u, :t] = emb
-            logits, self.cache = self._prefill(
-                params=self.model_params, cond_emb=cond_emb,
-                slot=jnp.asarray(row_c), cache=self.cache,
-                freqs_cis=self.freqs_cis, prefill_mask=prefill_mask)
+            key_c = self._prefix_key(req.cond, req.emb_mask, uncond=False)
+            logits = self._prefill_cached(key_c, cond_emb, row_c,
+                                          prefill_mask)
             if req.params.cfg_scale > 1.0:
                 if self.cfg.model_type == "c2i":
                     null = jnp.full_like(cond_j, self.cfg.num_classes)
@@ -219,10 +278,9 @@ class ServeEngine:
                     null = jnp.broadcast_to(un[None], cond_j.shape)
                 null_emb = gpt.embed_cond(self.model_params, self.cfg, null,
                                           train=False, dtype=self.dtype)
-                logits_u, self.cache = self._prefill(
-                    params=self.model_params, cond_emb=null_emb,
-                    slot=jnp.asarray(row_u), cache=self.cache,
-                    freqs_cis=self.freqs_cis, prefill_mask=prefill_mask)
+                key_u = self._prefix_key(req.cond, req.emb_mask, uncond=True)
+                logits_u = self._prefill_cached(key_u, null_emb, row_u,
+                                                prefill_mask)
                 both = jnp.concatenate([logits, logits_u], axis=0)
                 mixed = cfg_mix(both, req.params.cfg_scale)
             else:
