@@ -1,0 +1,79 @@
+"""int8 weight-only (W8A16) inference: accuracy vs bf16/f32 weights through
+the full decode stack, engine integration (vLLM weight-quantization analog).
+
+quantize_gpt_params replaces the big matrices with QuantizedLinear leaves;
+ops/nn.linear dispatches on leaf structure, so forward/prefill/decode paths
+need no changes. Per-output-channel symmetric int8 keeps logits within ~1e-2
+of full precision on smoke models.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_llamagen_tpu.core.config import gpt_config
+from video_llamagen_tpu.models import gpt
+from video_llamagen_tpu.ops.quant import (QuantizedLinear, dequantize_weight,
+                                          qlinear, quantize_gpt_params,
+                                          quantize_weight)
+
+CFG = gpt_config("GPT-nano", vocab_size=128, block_size=16, num_classes=10,
+                 cls_token_num=1, model_type="c2i", dtype="float32")
+
+
+def test_quantize_roundtrip_error():
+    w = jax.random.normal(jax.random.key(0), (64, 32)) * 0.05
+    wq = quantize_weight(w)
+    back = dequantize_weight(wq, jnp.float32)
+    # per-channel int8: worst-case error is scale/2 = max|w_col| / 254
+    err = np.abs(np.asarray(back - w))
+    bound = np.abs(np.asarray(w)).max(axis=0) / 254.0 + 1e-8
+    assert (err <= bound[None, :] + 1e-7).all()
+
+
+def test_qlinear_matches_dense():
+    x = jax.random.normal(jax.random.key(1), (4, 64)) * 0.5
+    w = jax.random.normal(jax.random.key(2), (64, 32)) * 0.05
+    got = np.asarray(qlinear(x, quantize_weight(w)))
+    want = np.asarray(x @ w)
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=0.05)
+
+
+def test_forward_logits_close():
+    params = gpt.init_gpt_params(jax.random.key(0), CFG)
+    qparams = quantize_gpt_params(params)
+    idx = jax.random.randint(jax.random.key(1), (2, 15), 0, 128)
+    cond = jnp.asarray([1, 2], jnp.int32)
+    lg, _ = gpt.forward(params, CFG, idx, cond)
+    lgq, _ = gpt.forward(qparams, CFG, idx, cond)
+    np.testing.assert_allclose(np.asarray(lgq), np.asarray(lg), atol=5e-2,
+                               rtol=0.1)
+    assert np.array_equal(np.asarray(lg).argmax(-1), np.asarray(lgq).argmax(-1))
+
+
+def test_generate_with_quantized_params():
+    from video_llamagen_tpu.inference.generate import generate
+    params = gpt.init_gpt_params(jax.random.key(3), CFG)
+    qparams = quantize_gpt_params(params)
+    cond = jnp.asarray([4, 5], jnp.int32)
+    t_full = generate(params, CFG, cond, jax.random.key(4), 8,
+                      cfg_scale=1.5, sample_logits=False)
+    t_q = generate(qparams, CFG, cond, jax.random.key(4), 8,
+                   cfg_scale=1.5, sample_logits=False)
+    assert t_q.shape == (2, 8)
+    # greedy path survives weight quantization on the smoke model
+    assert np.mean(np.asarray(t_full) == np.asarray(t_q)) >= 0.75
+
+
+def test_engine_weight_int8_smoke():
+    from video_llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+    params = gpt.init_gpt_params(jax.random.key(5), CFG)
+    eng = ServeEngine(params, CFG, max_batch=2, dtype=jnp.float32,
+                      weight_int8=True, kv_int8=True)
+    out = eng.generate([np.int32(3), np.int32(6)],
+                       SamplingParams(max_tokens=4), offline_fast_path=False)
+    assert all(len(o.tokens) == 4 for o in out)
+    # the big matrices really are int8 on device
+    leaf = eng.model_params["layers"]["attention"]["wqkv"]
+    assert isinstance(leaf, QuantizedLinear) and leaf.q.dtype == jnp.int8

@@ -22,8 +22,15 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndar
     return (normed.astype(dtype)) * weight.astype(dtype)
 
 
-def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    y = x @ w.astype(x.dtype)
+def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dense matmul; transparently accepts int8 weight-only QuantizedLinear
+    leaves (ops/quant.py) so quantized param trees flow through every
+    forward/decode path unchanged (vLLM weight-quantization analog)."""
+    if not isinstance(w, jnp.ndarray) and hasattr(w, "scale"):
+        from .quant import qlinear
+        y = qlinear(x, w)
+    else:
+        y = x @ w.astype(x.dtype)
     if b is not None:
         y = y + b.astype(x.dtype)
     return y

@@ -85,7 +85,8 @@ class ServeEngine:
 
     def __init__(self, params, cfg: GPTConfig, max_batch: int = 8,
                  max_seq: Optional[int] = None, dtype=None, mesh=None,
-                 kv_int8: bool = False, prefix_cache_size: int = 32):
+                 kv_int8: bool = False, weight_int8: bool = False,
+                 prefix_cache_size: int = 32):
         """`mesh`: optional jax Mesh — params are laid out by the tp/fsdp
         sharding rules (parallel/mesh.py) and the compiled prefill/decode
         steps run SPMD over it (the vLLM tensor_parallel_size analog).
@@ -94,6 +95,11 @@ class ServeEngine:
         self.cfg = cfg
         self.dtype = jnp.dtype(dtype or cfg.dtype)
         self.model_params = gpt.cast_params(params, self.dtype)
+        if weight_int8:
+            # per-output-channel int8 weights (W8A16): half the weight HBM
+            # stream; ops/nn.linear dispatches on the QuantizedLinear leaves.
+            from ..ops.quant import quantize_gpt_params
+            self.model_params = quantize_gpt_params(self.model_params)
         if mesh is not None:
             from ..parallel import mesh as pmesh
             self.model_params = pmesh.shard_params(self.model_params, mesh)
