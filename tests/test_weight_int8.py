@@ -77,3 +77,32 @@ def test_engine_weight_int8_smoke():
     # the big matrices really are int8 on device
     leaf = eng.model_params["layers"]["attention"]["wqkv"]
     assert isinstance(leaf, QuantizedLinear) and leaf.q.dtype == jnp.int8
+
+
+def test_quantized_params_shard_and_run():
+    """TP/FSDP sharding rules cover QuantizedLinear leaves: the q matrices
+    shard like their bf16 counterparts, scales follow the output axis, and a
+    sharded quantized forward matches the unsharded one."""
+    from video_llamagen_tpu.core.config import MeshConfig
+    from video_llamagen_tpu.parallel import mesh as pmesh
+
+    cfg = gpt_config("GPT-nano", vocab_size=128, block_size=16,
+                     num_classes=10, cls_token_num=1, model_type="c2i",
+                     dtype="float32")
+    params = gpt.init_gpt_params(jax.random.key(0), cfg)
+    qparams = quantize_gpt_params(params)
+    idx = jax.random.randint(jax.random.key(1), (2, 15), 0, 128)
+    cond = jnp.asarray([1, 2], jnp.int32)
+    want, _ = gpt.forward(qparams, cfg, idx, cond)
+
+    mesh = pmesh.make_mesh(MeshConfig(data=2, fsdp=2, tp=2))
+    qsharded = pmesh.shard_params(qparams, mesh)
+    leaf = qsharded["layers"]["attention"]["wqkv"]
+    assert leaf.q.dtype == jnp.int8
+    # q really lands sharded over real mesh axes (not the replicate rule);
+    # stacked layer axis stays unsharded, then (fsdp, tp)
+    assert tuple(leaf.q.sharding.spec) == (None, "fsdp", "tp")
+    assert "tp" in tuple(leaf.scale.sharding.spec)
+    got, _ = gpt.forward(qsharded, cfg, idx, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4,
+                               rtol=1e-4)

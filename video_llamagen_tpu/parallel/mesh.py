@@ -83,6 +83,13 @@ GPT_SHARDING_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*tok_embeddings$", P("tp", "fsdp")),
     (r".*output$", P("fsdp", "tp")),
     (r".*cls_embedding/embedding$", P(None, "fsdp")),
+    # int8 QuantizedLinear leaves (ops/quant.py NamedTuple -> GetAttrKey path
+    # suffixes /.q (in, out) and /.scale (out,)): q shards like the bf16
+    # weight, scale follows the output dim's axis
+    (r".*(attention/wqkv|ffn/w[13]|output)/\.q$", P("fsdp", "tp")),
+    (r".*(attention/wqkv|ffn/w[13]|output)/\.scale$", P("tp")),
+    (r".*(attention/wo|ffn/w2)/\.q$", P("tp", "fsdp")),
+    (r".*(attention/wo|ffn/w2)/\.scale$", P("fsdp")),
     # everything else (norms, small MLPs, biases) replicated
     (r".*", P()),
 )
