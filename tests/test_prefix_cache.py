@@ -68,3 +68,34 @@ def test_lru_eviction(params):
     # capacity 2: label 0 was evicted by (1, 2) and re-misses at the end
     assert eng.stats["prefix_misses"] == 4
     assert len(eng.prefix_cache) == 2
+
+
+def test_swap_out_and_resume(params):
+    """vLLM CPU-swap analog: preempt a running request, run another to
+    completion in its slot, resume — near-greedy tokens match a solo run."""
+    from video_llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+
+    sp = SamplingParams(max_tokens=6, cfg_scale=2.0, temperature=1e-4)
+
+    eng = ServeEngine(params, CFG, max_batch=1, dtype=jnp.float32)
+    a = eng.add_request(np.int32(4), sp)
+    done = {}
+    for _ in range(3):
+        for r in eng.step():
+            done[r.request_id] = r
+    assert eng.swap_out(a)                       # A mid-flight -> host
+    b = eng.add_request(np.int32(7), sp)
+    while eng.has_unfinished():
+        for r in eng.step():
+            done[r.request_id] = r
+    assert eng.stats["swap_outs"] == 1 and eng.stats["swap_ins"] == 1
+    assert len(done[a].tokens) == 6 and len(done[b].tokens) == 6
+
+    # near-greedy solo reference for A's conditioning
+    ref = ServeEngine(params, CFG, max_batch=1, dtype=jnp.float32)
+    ra = ref.add_request(np.int32(4), sp)
+    ref_done = {}
+    while ref.has_unfinished():
+        for r in ref.step():
+            ref_done[r.request_id] = r
+    assert done[a].tokens == ref_done[ra].tokens

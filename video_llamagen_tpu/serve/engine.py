@@ -142,6 +142,7 @@ class ServeEngine:
             collections.OrderedDict()
         self.stats["prefix_hits"] = 0
         self.stats["prefix_misses"] = 0
+        self._swapped: Dict[int, Any] = {}   # request_id -> host KV state
 
     # ---------------------------------------------------------- prefix cache
     @staticmethod
@@ -248,6 +249,42 @@ class ServeEngine:
     def has_unfinished(self) -> bool:
         return bool(self.queue) or any(s is not None for s in self.slots)
 
+    # ----------------------------------------------------------------- swap
+    # The vLLM CPU-swap analog (ref worker.py:182-210 CacheEngine swap):
+    # a running request's KV rows are copied to HOST memory, its slot freed
+    # for other requests, and on re-admission the rows are copied back and
+    # decoding resumes where it left off.
+
+    def swap_out(self, request_id: int) -> bool:
+        """Preempt a running request: KV rows -> host, slot freed, request
+        re-queued at the FRONT (vLLM preemption-by-swap semantics)."""
+        for slot_id, req in enumerate(self.slots):
+            if req is None or req.request_id != request_id:
+                continue
+            row_c, row_u = 2 * slot_id, 2 * slot_id + 1
+            self._swapped[request_id] = {
+                "rows": jax.device_get(
+                    [{name: a[row_c:row_u + 1] for name, a in e.items()}
+                     for e in self.cache]),
+                "pos": (int(self.pos[row_c]), int(self.pos[row_u])),
+                "col_valid": self.col_valid[row_c:row_u + 1].copy(),
+            }
+            self.slots[slot_id] = None
+            self.queue.appendleft(req)
+            self.stats["swap_outs"] = self.stats.get("swap_outs", 0) + 1
+            return True
+        return False
+
+    def _swap_in(self, req, slot_id: int):
+        row_c, row_u = 2 * slot_id, 2 * slot_id + 1
+        st = self._swapped.pop(req.request_id)
+        rows = jax.tree_util.tree_map(jnp.asarray, st["rows"])
+        self.cache = self._insert_rows(self.cache, rows, jnp.asarray(row_c))
+        self.pos[row_c], self.pos[row_u] = st["pos"]
+        self.col_valid[row_c:row_u + 1] = st["col_valid"]
+        self.slots[slot_id] = req
+        self.stats["swap_ins"] = self.stats.get("swap_ins", 0) + 1
+
     # ------------------------------------------------------------------- sched
     def _admit(self):
         """Fill free slots from the queue; prefill their conditioning."""
@@ -255,6 +292,9 @@ class ServeEngine:
             if self.slots[slot_id] is not None or not self.queue:
                 continue
             req = self.queue.popleft()
+            if req.request_id in self._swapped:
+                self._swap_in(req, slot_id)      # resume, no re-prefill
+                continue
             self.slots[slot_id] = req
             row_c, row_u = 2 * slot_id, 2 * slot_id + 1
             cond_j = jnp.asarray(req.cond)[None]
