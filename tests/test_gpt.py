@@ -149,3 +149,35 @@ def test_cls_token_rope_is_zeroed():
     freqs = precompute_freqs_2d(4, 16, cls_token_num=3)
     assert np.all(np.asarray(freqs[:3]) == 0.0)
     assert not np.all(np.asarray(freqs[3]) == 0.0)
+
+
+def test_head_dim_100_decode():
+    """GPT-3B's head_dim is 100 (dim 3200 / 32 heads) — the reference needs a
+    zero-pad 100->112 monkeypatch for vLLM's PagedAttention
+    (gpt_model.py:178-224); our einsum/flash dispatch takes any head_dim.
+    Tiny model with the same non-multiple-of-64 head_dim: cached decode must
+    match the full forward."""
+    from video_llamagen_tpu.core.config import GPTConfig
+    from video_llamagen_tpu.inference.generate import generate
+
+    cfg = GPTConfig(dim=200, n_layer=2, n_head=2, vocab_size=64,
+                    num_classes=8, block_size=16, cls_token_num=1,
+                    model_type="c2i", dtype="float32")
+    assert cfg.head_dim == 100
+    params = gpt.init_gpt_params(jax.random.key(0), cfg)
+    cond = jnp.asarray([3], jnp.int32)
+    toks = generate(params, cfg, cond, jax.random.key(1), 16,
+                    cfg_scale=1.5, sample_logits=False)
+    assert toks.shape == (1, 16)
+
+    # greedy cached decode == greedy re-derivation from the training forward
+    seq = np.asarray(toks)[0]
+    idx = jnp.asarray(seq[None, :-1])
+    logits, _ = gpt.forward(params, cfg, idx, cond)
+    # CFG at scale 1.5: mix cond/uncond logits like generate does
+    null = jnp.full_like(cond, cfg.num_classes)
+    logits_u, _ = gpt.forward(params, cfg, idx, null)
+    mixed = logits_u + 1.5 * (logits - logits_u)
+    # position t in the forward predicts token t (cls prefix occupies slot 0)
+    redecoded = np.asarray(mixed.argmax(-1))[0]
+    np.testing.assert_array_equal(redecoded, seq)
