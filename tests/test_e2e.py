@@ -98,3 +98,22 @@ def test_t2v_pipeline(head):
     assert vid.shape[0] == 1 and vid.shape[-1] == 3
     assert vid.shape[1] == gcfg.num_frames          # causal: t=2 -> 3 frames
     assert np.all(np.isfinite(np.asarray(vid)))
+
+
+def test_train_c2i_cli_smoke_and_resume(tmp_path):
+    """The training CLI end-to-end on synthetic codes: runs steps, writes a
+    checkpoint, and --resume restores and continues from it (ref
+    vq_train.py:141-158 / train_t2v.py:225-234 resume arithmetic)."""
+    from video_llamagen_tpu.train.train_c2i import main
+
+    args = ["--gpt-model", "GPT-nano", "--image-size", "64",
+            "--downsample-size", "16", "--vocab-size", "128",
+            "--num-classes", "8", "--global-batch-size", "8",
+            "--max-steps", "2", "--ckpt-every", "2", "--log-every", "1",
+            "--mixed-precision", "none", "--results-dir", str(tmp_path)]
+    state = main(args)
+    assert int(state.step) == 2
+
+    # fresh invocation resumes from the step-2 checkpoint and continues
+    state2 = main(args + ["--resume", "--max-steps", "4"])
+    assert int(state2.step) == 4
