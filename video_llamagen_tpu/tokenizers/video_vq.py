@@ -78,7 +78,11 @@ def init_codebook(rng: jax.Array, n_codes: int, embedding_dim: int) -> CodebookS
 
 
 def codebook_lookup(state: CodebookState, z_flat: jnp.ndarray) -> jnp.ndarray:
-    return vq_lookup(z_flat.astype(jnp.float32), state.embeddings)
+    # stop_gradient: index lookup is non-differentiable (EMA/STE carry the
+    # learning signal) and the Pallas TPU kernel has no VJP — same fix as
+    # tokenizers/vq/model.quantize
+    return vq_lookup(jax.lax.stop_gradient(z_flat.astype(jnp.float32)),
+                     jax.lax.stop_gradient(state.embeddings))
 
 
 def codebook_quantize(state: CodebookState, z: jnp.ndarray,

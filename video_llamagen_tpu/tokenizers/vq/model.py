@@ -254,7 +254,12 @@ def quantize(p: Params, cfg: VQConfig, z: jnp.ndarray, train: bool = False):
         emb = _l2n(emb)
 
     flat = zf.reshape(-1, zf.shape[-1])
-    indices = vq_lookup(flat, emb)
+    # stop_gradient: the nearest-neighbor index op is non-differentiable (the
+    # STE below carries the gradient), and on TPU the Pallas lookup kernel
+    # has no VJP — without this, jax.grad over a training step fails with
+    # "Linearization failed" (caught on-chip running train_vq)
+    indices = vq_lookup(jax.lax.stop_gradient(flat),
+                        jax.lax.stop_gradient(emb))
     z_q = emb[indices].reshape(zf.shape)
 
     vq_loss = commit_loss = entropy_loss = None
