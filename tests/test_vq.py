@@ -101,3 +101,24 @@ def test_entropy_loss_uniform_is_negative_max():
     aff = jnp.zeros((10, 16))
     loss = vq.compute_entropy_loss(aff)
     np.testing.assert_allclose(float(loss), 0.0, atol=1e-3)
+
+
+def test_remat_forward_and_grads_match():
+    """cfg.remat recomputes activations in backward — numerics unchanged."""
+    import dataclasses
+    cfg_r = dataclasses.replace(TINY, remat=True)
+    params = vq.init_vq_params(jax.random.key(7), TINY)
+    x = jax.random.normal(jax.random.key(8), (2, 16, 16, 3))
+
+    def loss(p, cfg):
+        recon, (vq_l, commit, ent), _ = vq.forward(p, cfg, x, train=True)
+        return jnp.mean((recon - x) ** 2) + vq_l + commit
+
+    l0, g0 = jax.value_and_grad(loss)(params, TINY)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    a = jax.tree_util.tree_leaves(g0)
+    b = jax.tree_util.tree_leaves(g1)
+    for x0, x1 in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(x1), atol=1e-5,
+                                   rtol=1e-4)

@@ -143,6 +143,9 @@ class VQConfig:
     num_res_blocks: int = 2
     in_channels: int = 3
     out_channels: int = 3
+    # rematerialize each resnet/attn block in backward (trades ~1.3x compute
+    # for activation memory; without it batch 32 @256 OOMs the 16G chip)
+    remat: bool = False
 
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
