@@ -155,3 +155,23 @@ def test_tiled_encode_spatial(params):
     z_first = cv.encode(params, cfg, x[:, :, :16, :16]).mode()
     np.testing.assert_allclose(np.asarray(z_tiled[:, :, :4, :4]),
                                np.asarray(z_first[:, :, :4, :4]), atol=1e-4)
+
+
+def test_remat_grads_match(params):
+    """cfg.remat recomputes block activations in backward — numerics equal."""
+    import dataclasses
+    cfg_r = dataclasses.replace(TINY, remat=True)
+    x = jax.random.normal(jax.random.key(30), (1, 5, 16, 16, 3))
+
+    def loss(p, cfg):
+        post = cv.encode(p, cfg, x)
+        recon = cv.decode(p, cfg, post.mode())
+        return jnp.mean((recon - x) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, TINY)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4)

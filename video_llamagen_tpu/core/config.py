@@ -190,6 +190,9 @@ class CausalVAEConfig:
     # which levels get temporal down/up sampling (2 of 3 transitions → 4x)
     time_downsample_levels: Tuple[int, ...] = (1, 2)
     use_attention: bool = True
+    # rematerialize enc/dec blocks in backward (3D-conv activations at
+    # 17f@256 dominate HBM; same lever as VQConfig.remat)
+    remat: bool = False
 
     # tiling (reference modeling_causalvae.py:444-570)
     tile_sample_min_t: int = 17      # frames per temporal tile

@@ -201,19 +201,32 @@ def init_encoder(rng, cfg: CausalVAEConfig) -> Params:
     return p
 
 
+_resnet3d_remat = jax.checkpoint(resnet3d)
+_attn3d_remat = jax.checkpoint(attn3d)
+
+
+def _block_fns(cfg: CausalVAEConfig):
+    """cfg.remat: recompute block activations in backward (VQ model has the
+    same lever; 3D-conv activations dominate HBM at training shapes)."""
+    if cfg.remat:
+        return _resnet3d_remat, _attn3d_remat
+    return resnet3d, attn3d
+
+
 def encoder_forward(p: Params, cfg: CausalVAEConfig, x: jnp.ndarray) -> jnp.ndarray:
+    rb_f, at_f = _block_fns(cfg)
     h = causal_conv3d(x, p["conv_in"])
     sd = _spatial_down_levels(cfg)
     for i, level in enumerate(p["levels"]):
         for rb in level["res"]:
-            h = resnet3d(rb, h)
+            h = rb_f(rb, h)
         if i in sd:
             h = spatial_downsample2x(h, level["downsample"])
         if i in cfg.time_downsample_levels:
             h = time_downsample2x(h)
-    h = resnet3d(p["mid"]["res1"], h)
-    h = attn3d(p["mid"]["attn"], h)
-    h = resnet3d(p["mid"]["res2"], h)
+    h = rb_f(p["mid"]["res1"], h)
+    h = at_f(p["mid"]["attn"], h)
+    h = rb_f(p["mid"]["res2"], h)
     return causal_conv3d(swish(_gn(h, p["norm_out"])), p["conv_out"])
 
 
@@ -254,15 +267,16 @@ def _decoder_time_up_levels(cfg: CausalVAEConfig) -> Tuple[int, ...]:
 
 
 def decoder_forward(p: Params, cfg: CausalVAEConfig, z: jnp.ndarray) -> jnp.ndarray:
+    rb_f, at_f = _block_fns(cfg)
     h = causal_conv3d(z, p["conv_in"])
-    h = resnet3d(p["mid"]["res1"], h)
-    h = attn3d(p["mid"]["attn"], h)
-    h = resnet3d(p["mid"]["res2"], h)
+    h = rb_f(p["mid"]["res1"], h)
+    h = at_f(p["mid"]["attn"], h)
+    h = rb_f(p["mid"]["res2"], h)
     tu = _decoder_time_up_levels(cfg)
     level_ids = tuple(reversed(range(len(cfg.ch_mult))))  # execution order
     for i_level, level in zip(level_ids, p["levels"]):
         for rb in level["res"]:
-            h = resnet3d(rb, h)
+            h = rb_f(rb, h)
         if i_level != 0:
             h = spatial_upsample2x(h, level["upsample"])
         if i_level in tu:

@@ -113,6 +113,8 @@ def main(argv=None):
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--results-dir", default="./results_vae")
     p.add_argument("--force-platform", default=None)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize enc/dec blocks in backward")
     p.add_argument("--smoke", action="store_true",
                    help="tiny model + synthetic clips")
     args = p.parse_args(argv)
@@ -127,7 +129,8 @@ def main(argv=None):
                               time_downsample_levels=(0,), dtype="float32")
         frames, size = 5, 32
     else:
-        cfg = CausalVAEConfig(hidden_size=args.hidden_size)
+        cfg = CausalVAEConfig(hidden_size=args.hidden_size,
+                              remat=args.remat)
         frames, size = args.num_frames, args.image_size
     tcfg = TrainConfig(lr=args.lr, global_batch_size=args.global_batch_size,
                        log_every=args.log_every)
