@@ -117,3 +117,16 @@ def test_train_c2i_cli_smoke_and_resume(tmp_path):
     # fresh invocation resumes from the step-2 checkpoint and continues
     state2 = main(args + ["--resume", "--max-steps", "4"])
     assert int(state2.step) == 4
+
+
+def test_sample_npz_cli(tmp_path):
+    """FID sampling flow: sample_npz CLI -> ADM npz -> evaluator math."""
+    from video_llamagen_tpu.inference.sample_npz import main
+    out = str(tmp_path / "s.npz")
+    main(["--gpt-model", "GPT-nano", "--image-size", "64",
+          "--downsample-size", "16", "--num-classes", "4",
+          "--num-samples", "6", "--per-batch", "4", "--out", out,
+          "--save-labels"])
+    d = np.load(out)
+    assert d["arr_0"].shape == (6, 64, 64, 3) and d["arr_0"].dtype == np.uint8
+    assert set(d["arr_1"]) <= set(range(4))
