@@ -18,8 +18,6 @@ Both support the non-causal tokenizer use and a causal flag for AR priors.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
