@@ -1,0 +1,108 @@
+"""Per-step decode breakdown for GPT-L on the real chip (VERDICT r1 weak #3).
+
+Decomposes the measured step time into weight-stream / KV-read / sampling
+components by measuring controlled variants:
+
+  A. full bench config        (batch 8, CFG->16 rows, S=577, sampled)
+  B. no-CFG                   (batch 8,          8 rows, S=577)  -> KV traffic halves
+  C. short-context            (batch 8, CFG->16 rows, S=65)     -> ~weights-only
+  D. greedy (sample off)      (A without top-k sampling)        -> sampling cost
+  E. batch ladder             (16/32/64 at 576 tokens)          -> tok/s/chip scaling
+
+Each timing is best-of-N (tunnel transients) of a full generate() call,
+divided by the number of decode steps. Prints a markdown table + JSON.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_cfg(name, model, batch, n_tokens, cfg_scale, top_k, sample_logits,
+            iters=3, kv_int8=False, weight_int8=False):
+    from video_llamagen_tpu.core.config import gpt_config
+    from video_llamagen_tpu.models import gpt
+    from video_llamagen_tpu.inference.generate import generate
+
+    cfg = gpt_config(model, vocab_size=16384, block_size=n_tokens,
+                     num_classes=1000, cls_token_num=1, model_type="c2i",
+                     dtype="bfloat16")
+    params = gpt.init_gpt_params(jax.random.key(0), cfg)
+    params = gpt.cast_params(params, jnp.bfloat16)
+    if weight_int8:
+        from video_llamagen_tpu.ops.quant import quantize_gpt_params
+        params = quantize_gpt_params(params)
+    cond = jnp.arange(batch, dtype=jnp.int32) % cfg.num_classes
+
+    def run(seed):
+        seq = generate(params, cfg, cond, jax.random.key(seed), n_tokens,
+                       cfg_scale=cfg_scale, top_k=top_k,
+                       sample_logits=sample_logits, kv_int8=kv_int8)
+        return np.asarray(seq)
+
+    t0 = time.perf_counter()
+    run(0)
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    steps = n_tokens  # prefill + (n-1) scan steps ~ n steps
+    rec = {
+        "name": name, "model": model, "batch": batch, "rows":
+        batch * (2 if cfg_scale > 1 else 1), "n_tokens": n_tokens,
+        "cfg_scale": cfg_scale, "kv_int8": kv_int8, "weight_int8": weight_int8,
+        "total_s": round(dt, 4), "ms_per_step": round(dt / steps * 1e3, 3),
+        "tok_s": round(batch * n_tokens / dt, 1),
+        "compile_s": round(compile_s - dt, 1),
+        "iter_times": [round(t, 3) for t in times],
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+CONFIGS = {
+    # name: (model, batch, n_tokens, cfg_scale, top_k, sample_logits, extra)
+    "A_bench": ("GPT-L", 8, 576, 2.0, 1000, True, {}),
+    "B_nocfg": ("GPT-L", 8, 576, 1.0, 1000, True, {}),
+    "C_short": ("GPT-L", 8, 64, 2.0, 1000, True, {}),
+    "D_greedy": ("GPT-L", 8, 576, 2.0, 0, False, {}),
+    "E_b16": ("GPT-L", 16, 576, 2.0, 1000, True, {}),
+    "E_b32": ("GPT-L", 32, 576, 2.0, 1000, True, {}),
+    "E_b64": ("GPT-L", 64, 576, 2.0, 1000, True, {}),
+    "F_kv8": ("GPT-L", 8, 576, 2.0, 1000, True, {"kv_int8": True}),
+    "G_w8": ("GPT-L", 8, 576, 2.0, 1000, True, {"weight_int8": True}),
+    "H_kv8w8": ("GPT-L", 8, 576, 2.0, 1000, True,
+                {"kv_int8": True, "weight_int8": True}),
+    "I_b64_kv8w8": ("GPT-L", 64, 576, 2.0, 1000, True,
+                    {"kv_int8": True, "weight_int8": True}),
+}
+
+
+def main():
+    # one config per invocation: each run stays well under the 10-min shell
+    # timeout so the TPU client is never killed (tunnel-wedge hazard)
+    assert jax.default_backend() == "tpu", "profile runs on the real chip"
+    names = sys.argv[1:] or ["A_bench"]
+    out = {}
+    if os.path.exists("profile_decode.json"):
+        with open("profile_decode.json") as f:
+            out = json.load(f)
+    for name in names:
+        model, batch, n_tok, cs, tk, sl, extra = CONFIGS[name]
+        out[name] = run_cfg(name, model, batch, n_tok, cs, tk, sl, **extra)
+        with open("profile_decode.json", "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
