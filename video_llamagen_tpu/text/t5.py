@@ -98,14 +98,19 @@ class T5Embedder:
 
     def __init__(self, dir_or_name: str, model_max_length: int = 120,
                  dtype: str = "bfloat16", use_text_preprocessing: bool = True):
-        from transformers import AutoTokenizer
-
         self.model_max_length = model_max_length
         self.use_text_preprocessing = use_text_preprocessing
-        self.tokenizer = AutoTokenizer.from_pretrained(dir_or_name)
+        self._tokenizer = None
         self._model = None
         self._dir = dir_or_name
         self._dtype = dtype
+
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            from transformers import AutoTokenizer
+            self._tokenizer = AutoTokenizer.from_pretrained(self._dir)
+        return self._tokenizer
 
     def _load_model(self):
         if self._model is None:
@@ -124,12 +129,16 @@ class T5Embedder:
             add_special_tokens=True, return_tensors="np")
         return enc["input_ids"], enc["attention_mask"]
 
+    def embed_token_ids(self, input_ids: np.ndarray, attn: np.ndarray):
+        """Pre-tokenized ids -> embeddings (B, L, d_model)."""
+        model = self._load_model()
+        out = model(input_ids=input_ids, attention_mask=attn)
+        return np.asarray(out.last_hidden_state)
+
     def get_text_embeddings(self, texts: List[str]):
         """texts -> (embeddings (B, 120, d_model), attention_mask (B, 120))."""
         input_ids, attn = self.tokenize(texts)
-        model = self._load_model()
-        out = model(input_ids=input_ids, attention_mask=attn)
-        return np.asarray(out.last_hidden_state), attn
+        return self.embed_token_ids(input_ids, attn), attn
 
 
 def dump_features(embedder: T5Embedder, captions: List[str], out_paths: List[str]):
