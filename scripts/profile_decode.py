@@ -26,7 +26,7 @@ import numpy as np
 
 
 def run_cfg(name, model, batch, n_tokens, cfg_scale, top_k, sample_logits,
-            iters=3, kv_int8=False, weight_int8=False):
+            iters=3, kv_int8=False, weight_int8=False, n_chunks=1):
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.inference.generate import generate
@@ -44,7 +44,8 @@ def run_cfg(name, model, batch, n_tokens, cfg_scale, top_k, sample_logits,
     def run(seed):
         seq = generate(params, cfg, cond, jax.random.key(seed), n_tokens,
                        cfg_scale=cfg_scale, top_k=top_k,
-                       sample_logits=sample_logits, kv_int8=kv_int8)
+                       sample_logits=sample_logits, kv_int8=kv_int8,
+                       n_chunks=n_chunks)
         return np.asarray(seq)
 
     t0 = time.perf_counter()
@@ -61,6 +62,7 @@ def run_cfg(name, model, batch, n_tokens, cfg_scale, top_k, sample_logits,
         "name": name, "model": model, "batch": batch, "rows":
         batch * (2 if cfg_scale > 1 else 1), "n_tokens": n_tokens,
         "cfg_scale": cfg_scale, "kv_int8": kv_int8, "weight_int8": weight_int8,
+        "n_chunks": n_chunks,
         "total_s": round(dt, 4), "ms_per_step": round(dt / steps * 1e3, 3),
         "tok_s": round(batch * n_tokens / dt, 1),
         "compile_s": round(compile_s - dt, 1),
@@ -85,6 +87,16 @@ CONFIGS = {
                 {"kv_int8": True, "weight_int8": True}),
     "I_b64_kv8w8": ("GPT-L", 64, 576, 2.0, 1000, True,
                     {"kv_int8": True, "weight_int8": True}),
+    "J_chunk4": ("GPT-L", 8, 576, 2.0, 1000, True, {"n_chunks": 4}),
+    "N_b16_chunk4": ("GPT-L", 16, 576, 2.0, 1000, True, {"n_chunks": 4}),
+    "N_b32_chunk4": ("GPT-L", 32, 576, 2.0, 1000, True, {"n_chunks": 4}),
+    "N_b64_kv8": ("GPT-L", 64, 576, 2.0, 1000, True,
+                  {"n_chunks": 4, "kv_int8": True}),
+    "N_b128_chunk4": ("GPT-L", 128, 576, 2.0, 1000, True, {"n_chunks": 4}),
+    "K_chunk8": ("GPT-L", 8, 576, 2.0, 1000, True, {"n_chunks": 8}),
+    "L_chunk4_kv8": ("GPT-L", 8, 576, 2.0, 1000, True,
+                     {"n_chunks": 4, "kv_int8": True}),
+    "M_b64_chunk4": ("GPT-L", 64, 576, 2.0, 1000, True, {"n_chunks": 4}),
 }
 
 

@@ -181,3 +181,39 @@ def test_head_dim_100_decode():
     # position t in the forward predicts token t (cls prefix occupies slot 0)
     redecoded = np.asarray(mixed.argmax(-1))[0]
     np.testing.assert_array_equal(redecoded, seq)
+
+
+def test_generate_chunked_bit_identical(params_c2i_live):
+    """Ramped-KV-window decode (n_chunks>1) must match the single scan
+    exactly — windows always cover pos, so the masked softmax sees the same
+    columns (bf16/int8 cache alike)."""
+    cond = jnp.asarray([1, 2])
+    outs = {}
+    for nc in (1, 3, 4):
+        outs[nc] = np.asarray(generate(params_c2i_live, TINY, cond,
+                                       jax.random.key(7), TINY.block_size,
+                                       cfg_scale=2.0, top_k=20, n_chunks=nc))
+    assert np.array_equal(outs[1], outs[3])
+    assert np.array_equal(outs[1], outs[4])
+
+    a = np.asarray(generate(params_c2i_live, TINY, cond, jax.random.key(7),
+                            TINY.block_size, cfg_scale=2.0, top_k=20,
+                            kv_int8=True, n_chunks=1))
+    b = np.asarray(generate(params_c2i_live, TINY, cond, jax.random.key(7),
+                            TINY.block_size, cfg_scale=2.0, top_k=20,
+                            kv_int8=True, n_chunks=4))
+    assert np.array_equal(a, b)
+
+
+def test_generate_chunked_t2i_emb_masks(params_t2i):
+    """Chunked decode with the t2i padded-text col_valid mask: the sliced
+    col_valid[:, :window] path must preserve masking semantics."""
+    b = 2
+    cond = jax.random.normal(jax.random.key(3),
+                             (b, TINY_T2I.cls_token_num, TINY_T2I.caption_dim))
+    emb_masks = jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 0]], jnp.int32)
+    outs = [np.asarray(generate(params_t2i, TINY_T2I, cond, jax.random.key(5),
+                                TINY_T2I.block_size, emb_masks=emb_masks,
+                                cfg_scale=1.5, top_k=10, n_chunks=nc))
+            for nc in (1, 4)]
+    assert np.array_equal(outs[0], outs[1])

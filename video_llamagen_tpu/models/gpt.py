@@ -359,6 +359,20 @@ def _quantize_kv(x: jnp.ndarray):
     return q, scale
 
 
+def _entry_window(entry, window: Optional[int]):
+    """Static read-window slice of a cache entry along the seq axis.
+
+    Decode attention masks columns > pos but still STREAMS the whole (B,KH,
+    S_max,D) buffer from HBM each step. Decode is KV-bandwidth-bound (measured
+    GPT-L batch-8 @577: 16 CFG rows = 7.88 ms/step, 8 rows = 4.64 ms — ~0.4
+    ms/row is KV traffic), so reading only a prefix window that covers the
+    current position cuts the dominant term. Callers pick a static `window`
+    per scan segment (inference/generate.py ramps it across chunks)."""
+    if window is None or window >= entry["k"].shape[2]:
+        return entry
+    return {name: x[:, :, :window] for name, x in entry.items()}
+
+
 def _cache_kv(entry):
     """Read a cache entry as attend-able (bf16) K/V, dequantizing if int8."""
     if "k_scale" in entry:
@@ -435,6 +449,53 @@ def _decode_attn(q, ck, cv, mask, n_rep: int):
     return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
 
 
+def _decode_attn_int8(q, entry, mask, n_rep: int):
+    """Fused int8 decode attention: both dots run int8 x int8 on the MXU.
+
+    Dequantizing the int8 cache into bf16 before the dot (ck = kq * ks)
+    materializes a full-size bf16 copy in HBM — XLA cannot fuse a convert
+    into a dot operand — which is why the naive int8 cache measured only
+    +5.6% (GPT-L batch-8: 7.46 vs 7.88 ms/step). Instead quantize the tiny
+    side of each dot (q rows; prob·v_scale rows) and keep the big side int8:
+
+      scores[s] = qs·ks[s] · dot_int8(q8, K8[s,:])        (int32 accumulate)
+      attn[d]   = ps       · dot_int8(p8, V8[:,d])   with p = probs·vs
+
+    so the (B,KH,S,D) int8 buffers stream at half the bf16 bytes and no
+    dequantized copy ever exists. Extra quantization error: ~1/254 relative
+    per element on q and per prob row (tests pin logits to the bf16 cache
+    within the same budget as plain int8 KV).
+    """
+    b, _, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    kq, ks = entry["k"], entry["k_scale"]
+    vq, vs = entry["v"], entry["v_scale"]
+    if n_rep > 1:
+        kq = jnp.repeat(kq, n_rep, axis=1)
+        ks = jnp.repeat(ks, n_rep, axis=1)
+        vq = jnp.repeat(vq, n_rep, axis=1)
+        vs = jnp.repeat(vs, n_rep, axis=1)
+
+    qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,1,D)
+    q8, qs = _quantize_kv(qh)                                  # int8, (B,H,1,1)
+    scores_i = jnp.einsum("bhqd,bhsd->bhqs", q8, kq,
+                          preferred_element_type=jnp.int32)
+    scores = scores_i.astype(jnp.float32)
+    scores = scores * qs.astype(jnp.float32)                   # (B,H,1,S)
+    scores = scores * jnp.swapaxes(ks, -1, -2).astype(jnp.float32)
+    scores = scores * scale
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)                    # (B,H,1,S)
+
+    pv = probs * jnp.swapaxes(vs, -1, -2).astype(jnp.float32)  # fold v scales
+    p8, ps = _quantize_kv(pv)                                  # int8, (B,H,1,1)
+    attn_i = jnp.einsum("bhqs,bhsd->bhqd", p8, vq,
+                        preferred_element_type=jnp.int32)
+    attn = attn_i.astype(jnp.float32) * ps.astype(jnp.float32)
+    attn = attn.astype(q.dtype)
+    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
+
+
 def prefill_forward(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
                     cache, prefill_mask: Optional[jnp.ndarray],
                     freqs_cis: jnp.ndarray):
@@ -473,22 +534,27 @@ def prefill_forward(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
 def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
                 pos: jnp.ndarray, cache,
                 col_valid: Optional[jnp.ndarray],
-                freqs_cis: jnp.ndarray):
+                freqs_cis: jnp.ndarray,
+                window: Optional[int] = None):
     """One cached decode step — the hot loop body (unrolled over layers).
 
     token_emb: (B, 1, dim); pos: scalar int32 (absolute position);
     col_valid: optional bool (B, S_max) marking valid attention columns
-    (padded-text columns removed, ref generate.py:156-165).
+    (padded-text columns removed, ref generate.py:156-165);
+    window: static attention read-window — only cache[:, :, :window] is
+    streamed (caller guarantees pos < window). Decode is KV-bandwidth-bound,
+    so a ramped window is the main throughput lever (see _entry_window).
     Returns (logits (B, vocab), cache).
     """
     b = token_emb.shape[0]
-    s_max = cache_seq_len(cache)
+    s_read = min(window, cache_seq_len(cache)) if window is not None \
+        else cache_seq_len(cache)
     freqs = jax.lax.dynamic_slice_in_dim(freqs_cis, pos, 1, axis=0)
 
-    col_ids = jnp.arange(s_max)
+    col_ids = jnp.arange(s_read)
     causal_cols = col_ids[None, :] <= pos          # (1, S)
     if col_valid is not None:
-        cols = causal_cols & col_valid             # (B, S)
+        cols = causal_cols & col_valid[:, :s_read]  # (B, S)
         mask = cols[:, None, None, :]
     else:
         mask = causal_cols[None, None]             # (1,1,1,S)
@@ -504,8 +570,11 @@ def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
         k_row = jnp.transpose(k, (0, 2, 1, 3))     # (B,KH,1,D)
         v_row = jnp.transpose(v, (0, 2, 1, 3))
         entry = _cache_write(cache[i], k_row, v_row, (0, 0, pos, 0))
-        ck, cv = _cache_kv(entry)
-        attn = _decode_attn(q, ck, cv, mask, n_rep)
+        read = _entry_window(entry, window)
+        if "k_scale" in entry:
+            attn = _decode_attn_int8(q, read, mask, n_rep)
+        else:
+            attn = _decode_attn(q, read["k"], read["v"], mask, n_rep)
         h = h + linear(attn, lp["attention"]["wo"])
         h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
         new_cache.append(entry)
@@ -568,8 +637,10 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
         # cache rows are (B, KH, S, D): per-slot scatter at [b, :, pos[b], :]
         entry = _cache_write_slots(cache[i], k[:, 0], v[:, 0], batch_ids,
                                    pos, active)
-        ck, cv = _cache_kv(entry)
-        attn = _decode_attn(q, ck, cv, mask, n_rep)
+        if "k_scale" in entry:
+            attn = _decode_attn_int8(q, entry, mask, n_rep)
+        else:
+            attn = _decode_attn(q, entry["k"], entry["v"], mask, n_rep)
         h = h + linear(attn, lp["attention"]["wo"])
         h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
         new_cache.append(entry)

@@ -150,7 +150,41 @@ def init_attn3d(rng, c: int) -> Params:
 
 
 def attn3d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Per-frame spatial self-attention (ref attention.py:40-76)."""
+    """Reference-exact AttnBlock3D (ref attention.py:40-76) — BUG PRESERVED.
+
+    The reference reshapes NCTHW as (b·t, c, h·w), which does NOT slice per
+    frame: it scrambles the c and t axes together (its own docstring warns
+    "there are issues, use with caution"). Published CausalVAE checkpoints
+    were trained through this exact scrambled attention, so weight-import
+    parity requires reproducing it bit-for-bit (caught by
+    tests/test_import_production.py at the production 512-ch mid block).
+    Use attn3d_fixed (= reference AttnBlock3DFix) for clean per-frame
+    attention when training from scratch.
+    """
+    b, t, h, w, c = x.shape
+    hn = _gn(x, p["norm"])
+    q = causal_conv3d(hn, p["q"])
+    k = causal_conv3d(hn, p["k"])
+    v = causal_conv3d(hn, p["v"])
+
+    def scramble(u):  # NTHWC -> torch's (b·t, c, h·w) row-major reshape
+        return jnp.transpose(u, (0, 4, 1, 2, 3)).reshape(b * t, c, h * w)
+
+    qs = jnp.transpose(scramble(q), (0, 2, 1))                 # (bt, hw, c')
+    ks = scramble(k)                                           # (bt, c', hw)
+    scores = jnp.einsum("bqc,bck->bqk", qs, ks).astype(jnp.float32)
+    scores = scores * (c ** -0.5)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    vs = scramble(v)                                           # (bt, c', hw)
+    out = jnp.einsum("bck,bqk->bcq", vs, probs)                # (bt, c', hw)
+    out = jnp.transpose(out.reshape(b, c, t, h, w), (0, 2, 3, 4, 1))
+    return x + causal_conv3d(out, p["proj_out"])
+
+
+def attn3d_fixed(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Clean per-frame spatial attention (ref AttnBlock3DFix,
+    attention.py:79+): the repaired upstream variant, for from-scratch
+    training runs that don't need checkpoint parity with AttnBlock3D."""
     b, t, h, w, c = x.shape
     hn = _gn(x, p["norm"])
     q = causal_conv3d(hn, p["q"]).reshape(b * t, h * w, c)
