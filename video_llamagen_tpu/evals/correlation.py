@@ -117,7 +117,12 @@ def corr_lookup(volume: jnp.ndarray, coords: jnp.ndarray,
     d = 2 * r + 1
     dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
     dy = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    delta = jnp.stack(jnp.meshgrid(dx, dy, indexing="xy"), axis=-1)  # (d,d,2)
+    # window channel (i, j) offsets the centroid by (lin[i], lin[j]) — the
+    # reference adds a meshgrid(dy, dx) delta to an (x, y) centroid
+    # (corr.py:37-42), i.e. its flattened window order is the transpose of
+    # the natural (dx, dy) enumeration; the update-block conv weights are
+    # trained against that order, so we must reproduce it exactly.
+    delta = jnp.stack(jnp.meshgrid(dx, dy, indexing="ij"), axis=-1)  # (d,d,2)
 
     def one_batch(vol_b, coords_b):
         # vol_b (H, W, Ht, Wt) -> for each source pixel sample target window

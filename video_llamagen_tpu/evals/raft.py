@@ -29,14 +29,25 @@ Params = Dict[str, Any]
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def _conv(x, p, stride=1, padding="SAME"):
+def _conv(x, p, stride=1):
+    """torch-semantics conv: symmetric padding k//2 per side. (XLA "SAME"
+    pads asymmetrically for stride 2 on even inputs — 2,3 instead of torch's
+    3,3 — which broke parity on the stride-2 encoder convs.)"""
+    kh, kw = p["kernel"].shape[:2]
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     out = jax.lax.conv_general_dilated(
-        x, p["kernel"].astype(x.dtype), (stride, stride), padding,
+        x, p["kernel"].astype(x.dtype), (stride, stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return out + p["bias"].astype(x.dtype)
 
 
 def _instance_norm(x, p):
+    """Norm dispatcher: instance norm, or eval-mode BatchNorm when the
+    imported entry carries running stats (reference cnet uses norm_fn='batch',
+    raft.py:55 — eval BN is a per-channel affine from running mean/var)."""
+    if p is not None and "mean" in p:
+        inv = jax.lax.rsqrt(p["var"] + 1e-5) * p["scale"]
+        return (x - p["mean"]) * inv + p["bias"]
     mean = jnp.mean(x, axis=(1, 2), keepdims=True)
     var = jnp.var(x, axis=(1, 2), keepdims=True)
     out = (x - mean) * jax.lax.rsqrt(var + 1e-5)
@@ -100,7 +111,8 @@ def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     neigh = jnp.stack([pad[:, dy:dy + h, dx:dx + w]
                        for dy in range(3) for dx in range(3)], axis=3)
     up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", m, neigh)
-    return up.transpose(0, 1, 4, 2, 5, 3).reshape(b, 8 * h, 8 * w, 2)
+    # (b,h,w,u,v,c) -> (b,h,u,w,v,c): row = 8*h_idx+u, col = 8*w_idx+v
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -273,8 +285,12 @@ def import_raft_state_dict(sd: Dict[str, Any]) -> Params:
     def norm(prefix):
         if prefix + ".weight" not in sd:
             return None
-        return {"scale": np_(sd[prefix + ".weight"]),
-                "bias": np_(sd[prefix + ".bias"])}
+        p = {"scale": np_(sd[prefix + ".weight"]),
+             "bias": np_(sd[prefix + ".bias"])}
+        if prefix + ".running_mean" in sd:  # BatchNorm (cnet): eval-mode stats
+            p["mean"] = np_(sd[prefix + ".running_mean"])
+            p["var"] = np_(sd[prefix + ".running_var"])
+        return p
 
     def encoder(name):
         p = {"conv1": conv(f"{name}.conv1"), "norm1": norm(f"{name}.norm1"),
