@@ -1,0 +1,151 @@
+"""Serving benchmarks: offline ladder rows + online continuous batching.
+
+Offline (ref autoregressive/serve/README.md:12-16 table — batch-8 @576):
+    python scripts/bench_serving.py offline GPT-B GPT-L ... [--weight-int8]
+Online (VERDICT r1 next-step #5: staggered arrivals, tok/s + TTFT/E2E
+latency percentiles):
+    python scripts/bench_serving.py online GPT-L --rate 4 --num-requests 32
+
+One model per invocation keeps each run under shell timeouts (never kill a
+TPU client — tunnel-wedge hazard).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(model, max_batch, weight_int8=False, kv_int8=False,
+          decode_window=1, n_tokens=576):
+    from video_llamagen_tpu.core.config import gpt_config
+    from video_llamagen_tpu.models import gpt
+    from video_llamagen_tpu.serve.engine import ServeEngine
+
+    cfg = gpt_config(model, vocab_size=16384, block_size=n_tokens,
+                     num_classes=1000, cls_token_num=1, model_type="c2i",
+                     dtype="bfloat16")
+    params = gpt.init_gpt_params(jax.random.key(0), cfg)
+    eng = ServeEngine(params, cfg, max_batch=max_batch,
+                      weight_int8=weight_int8, kv_int8=kv_int8,
+                      decode_window=decode_window)
+    del params
+    return cfg, eng
+
+
+def bench_offline(args):
+    from video_llamagen_tpu.serve.engine import SamplingParams
+    out = {}
+    for model in args.models:
+        cfg, eng = build(model, args.batch, args.weight_int8, args.kv_int8)
+        sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0,
+                            top_k=1000)
+        conds = list(range(args.batch))
+        eng.generate(conds, sp)                       # compile
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            eng.generate(conds, sp)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        rec = {"model": model, "batch": args.batch, "n_tokens": args.n_tokens,
+               "weight_int8": args.weight_int8, "kv_int8": args.kv_int8,
+               "total_s": round(dt, 3),
+               "tok_s": round(args.batch * args.n_tokens / dt, 1),
+               "iter_times": [round(t, 3) for t in times]}
+        print(json.dumps(rec), flush=True)
+        out[model] = rec
+        del eng
+    _merge("bench_serving_offline.json", out)
+
+
+def bench_online(args):
+    """Poisson arrivals into the continuous-batching engine; reports online
+    tok/s and TTFT / E2E latency percentiles."""
+    from video_llamagen_tpu.serve.engine import SamplingParams
+    _, eng = build(args.models[0], args.batch, args.weight_int8,
+                   args.kv_int8, decode_window=args.decode_window,
+                   n_tokens=args.n_tokens)
+    sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
+
+    # warm the compiled paths (prefill batch sizes 1..batch, decode windows)
+    eng.generate(list(range(2)), sp, offline_fast_path=False)
+    eng.stats.update(requests_done=0, tokens_generated=0, steps=0)
+
+    rng = np.random.default_rng(0)
+    arrivals = np.cumsum(rng.exponential(1.0 / args.rate, args.num_requests))
+    t0 = time.monotonic()
+    pending = list(enumerate(arrivals))
+    done = []
+    while len(done) < args.num_requests:
+        now = time.monotonic() - t0
+        while pending and pending[0][1] <= now:
+            i, at = pending.pop(0)
+            rid = eng.add_request(np.int32(i % 1000), sp)
+            # backdate arrival to the scheduled time for honest latency
+            for r in eng.queue:
+                if r.request_id == rid:
+                    r.arrival_t = t0 + at
+        done.extend(eng.step())
+        if not eng.has_unfinished() and pending:
+            time.sleep(max(0.0, pending[0][1] - (time.monotonic() - t0)))
+    dt = time.monotonic() - t0
+
+    ttft = np.array([r.first_token_t - r.arrival_t for r in done])
+    e2e = np.array([r.finish_t - r.arrival_t for r in done])
+    rec = {
+        "model": args.models[0], "mode": "online", "rate_rps": args.rate,
+        "num_requests": args.num_requests, "max_batch": args.batch,
+        "n_tokens": args.n_tokens, "decode_window": args.decode_window,
+        "elapsed_s": round(dt, 2),
+        "tok_s": round(sum(len(r.tokens) for r in done) / dt, 1),
+        "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
+        "ttft_p99_s": round(float(np.percentile(ttft, 99)), 3),
+        "e2e_p50_s": round(float(np.percentile(e2e, 50)), 3),
+        "e2e_p99_s": round(float(np.percentile(e2e, 99)), 3),
+        "engine_steps": eng.stats["steps"],
+        "prefix_hits": eng.stats.get("prefix_hits", 0),
+    }
+    print(json.dumps(rec), flush=True)
+    _merge("bench_serving_online.json",
+           {f"{args.models[0]}_w{args.decode_window}_r{args.rate}": rec})
+
+
+def _merge(path, new):
+    cur = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            cur = json.load(f)
+    cur.update(new)
+    with open(path, "w") as f:
+        json.dump(cur, f, indent=1)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["offline", "online"])
+    p.add_argument("models", nargs="+")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n-tokens", type=int, default=576)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--weight-int8", action="store_true")
+    p.add_argument("--kv-int8", action="store_true")
+    p.add_argument("--rate", type=float, default=4.0)
+    p.add_argument("--num-requests", type=int, default=32)
+    p.add_argument("--decode-window", type=int, default=16)
+    args = p.parse_args()
+    if args.mode == "offline":
+        bench_offline(args)
+    else:
+        bench_online(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

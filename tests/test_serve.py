@@ -132,3 +132,21 @@ def test_engine_t2i_emb_mask():
                                emb_masks=jnp.asarray(emb_mask)[None],
                                cfg_scale=1.0, sample_logits=False))[0].tolist()
     assert done[0].tokens == want, (done[0].tokens, want)
+
+
+def test_decode_window_matches_per_step(params):
+    """Fused multi-step decode (decode_window>1) must produce the same greedy
+    streams as the sync-every-token loop, with far fewer host syncs."""
+    sp = SamplingParams(max_tokens=13, cfg_scale=2.0, top_k=1)
+    conds = [np.int32(c) for c in (1, 5, 7)]
+
+    def run(window):
+        eng = ServeEngine(params, TINY, max_batch=2, dtype=jnp.float32,
+                          decode_window=window)
+        out = eng.generate(conds, sp, offline_fast_path=False)
+        return eng, [o.tokens for o in out]
+
+    eng1, toks1 = run(1)
+    eng8, toks8 = run(8)
+    assert toks1 == toks8
+    assert eng8.stats["steps"] < eng1.stats["steps"]

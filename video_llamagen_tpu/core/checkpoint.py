@@ -67,6 +67,54 @@ def resume_arithmetic(train_steps: int, dataset_len: int,
     }
 
 
+def _restore_state_dict(directory: str, template: Dict[str, Any],
+                        step: Optional[int]) -> Dict[str, Any]:
+    mgr = CheckpointManager(directory, async_save=False)
+    return mgr.restore(template, step=step)
+
+
+def load_gpt_orbax(directory: str, cfg, step: Optional[int] = None,
+                   ema: bool = False) -> Any:
+    """Load GPT params from a train_c2i/train_t2i orbax checkpoint dir.
+
+    The saved tree is TrainState._asdict() ({step, params, opt_state,
+    ema_params}); `ema=True` prefers the EMA params (the reference's
+    'ema'-key preference, sample_t2v_1f.py:102-109)."""
+    from ..core.config import TrainConfig
+    from ..train.train_state import create_train_state
+    for with_ema in ((True, False) if ema else (False, True)):
+        try:
+            tmpl = create_train_state(jax.random.key(0), cfg,
+                                      TrainConfig(ema=with_ema))
+            state = _restore_state_dict(directory, tmpl._asdict(), step)
+            break
+        except Exception:
+            if with_ema == (False if ema else True):
+                raise
+    params = state["ema_params"] if ema and state.get("ema_params") is not None \
+        else state["params"]
+    return params
+
+
+def load_vq_orbax(directory: str, vcfg, step: Optional[int] = None,
+                  ema: bool = False) -> Any:
+    """Load VQ generator params from a train_vq orbax checkpoint dir."""
+    from ..core.config import TrainConfig
+    from ..train.train_vq import create_vq_train_state
+    for with_ema in ((True, False) if ema else (False, True)):
+        try:
+            tmpl = create_vq_train_state(jax.random.key(0), vcfg,
+                                         TrainConfig(ema=with_ema))
+            state = _restore_state_dict(directory, tmpl._asdict(), step)
+            break
+        except Exception:
+            if with_ema == (False if ema else True):
+                raise
+    if ema and state.get("ema_params") is not None:
+        return state["ema_params"]
+    return state["params"]
+
+
 def save_params_npz(path: str, params: Any):
     """Flat .npz export for interchange/debugging."""
     flat = {}

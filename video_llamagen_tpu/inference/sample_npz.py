@@ -39,9 +39,18 @@ from .generate import generate
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--gpt-model", default="GPT-B")
-    p.add_argument("--gpt-ckpt", default=None)
+    p.add_argument("--gpt-ckpt", default=None, help="torch .pt checkpoint")
+    p.add_argument("--gpt-orbax", default=None,
+                   help="orbax checkpoint dir from train_c2i/train_t2i")
+    p.add_argument("--gpt-step", type=int, default=None,
+                   help="orbax step to load (default latest)")
     p.add_argument("--vq-model", default="VQ-16")
-    p.add_argument("--vq-ckpt", default=None)
+    p.add_argument("--vq-ckpt", default=None, help="torch .pt checkpoint")
+    p.add_argument("--vq-orbax", default=None,
+                   help="orbax checkpoint dir from train_vq")
+    p.add_argument("--ema", action="store_true",
+                   help="load EMA params from orbax checkpoints")
+    p.add_argument("--force-platform", default=None)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--downsample-size", type=int, default=16)
     p.add_argument("--num-classes", type=int, default=1000)
@@ -58,6 +67,9 @@ def main(argv=None):
     p.add_argument("--save-labels", action="store_true")
     args = p.parse_args(argv)
 
+    if args.force_platform:
+        jax.config.update("jax_platforms", args.force_platform)
+
     latent = args.image_size // args.downsample_size
     cfg = gpt_config(args.gpt_model, vocab_size=16384,
                      block_size=latent ** 2, num_classes=args.num_classes,
@@ -67,14 +79,23 @@ def main(argv=None):
     if args.gpt_ckpt:
         from ..core.torch_import import load_gpt_checkpoint
         params = load_gpt_checkpoint(args.gpt_ckpt, cfg)
+    elif args.gpt_orbax:
+        from ..core.checkpoint import load_gpt_orbax
+        params = load_gpt_orbax(args.gpt_orbax, cfg, step=args.gpt_step,
+                                ema=args.ema)
+        print(f"loaded GPT params from {args.gpt_orbax} "
+              f"(step {args.gpt_step or 'latest'})")
     else:
         print("WARNING: random GPT weights (smoke mode)")
         params = gpt.init_gpt_params(jax.random.key(args.seed), cfg)
     params = gpt.cast_params(params, jnp.bfloat16)
     if args.vq_ckpt:
         from ..core.torch_import import load_vq_checkpoint
-        vparams = vq.init_vq_params(jax.random.key(1), vcfg)
         vparams = load_vq_checkpoint(args.vq_ckpt, vcfg)
+    elif args.vq_orbax:
+        from ..core.checkpoint import load_vq_orbax
+        vparams = load_vq_orbax(args.vq_orbax, vcfg, ema=args.ema)
+        print(f"loaded VQ params from {args.vq_orbax}")
     else:
         print("WARNING: random VQ weights (smoke mode)")
         vparams = vq.init_vq_params(jax.random.key(1), vcfg)

@@ -33,10 +33,15 @@ def extract_batch(params, cfg, images: np.ndarray, flip_aug: bool = True):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--vq-model", default="VQ-16")
-    p.add_argument("--vq-ckpt", default=None)
+    p.add_argument("--vq-ckpt", default=None, help="torch .pt checkpoint")
+    p.add_argument("--vq-orbax", default=None,
+                   help="orbax checkpoint dir from train_vq")
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--data-path", required=False, default=None,
                    help="ImageFolder root; synthetic smoke if omitted")
+    p.add_argument("--data-npy", default=None,
+                   help="uint8 (N,H,W,3) npy dataset (+ --labels-npy)")
+    p.add_argument("--labels-npy", default=None)
     p.add_argument("--out", default="./codes")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--limit", type=int, default=None)
@@ -51,6 +56,10 @@ def main(argv=None):
     if args.vq_ckpt:
         from ..core.torch_import import load_vq_checkpoint
         params = load_vq_checkpoint(args.vq_ckpt, cfg)
+    elif args.vq_orbax:
+        from ..core.checkpoint import load_vq_orbax
+        params = load_vq_orbax(args.vq_orbax, cfg)
+        print(f"loaded VQ params from {args.vq_orbax}")
     else:
         params = vq.init_vq_params(jax.random.key(0), cfg)
         print("WARNING: random VQ weights (smoke mode)")
@@ -61,7 +70,15 @@ def main(argv=None):
     os.makedirs(label_dir, exist_ok=True)
 
     def batches():
-        if args.data_path:
+        if args.data_npy:
+            data = np.load(args.data_npy)      # uint8 (N, H, W, 3)
+            labels = (np.load(args.labels_npy) if args.labels_npy
+                      else np.zeros(len(data), np.int64))
+            n = min(len(data), args.limit) if args.limit else len(data)
+            for i in range(0, n, args.batch):
+                yield (data[i:i + args.batch].astype(np.float32) / 127.5 - 1,
+                       labels[i:i + args.batch])
+        elif args.data_path:
             from PIL import Image
             from ..data.transforms import center_crop_arr
             classes = sorted(os.listdir(args.data_path))

@@ -147,6 +147,12 @@ def main(argv=None):
     p.add_argument("--results-dir", default="./results_vq")
     p.add_argument("--lpips-weights", default=None,
                    help="npz of converted VGG/LPIPS weights")
+    p.add_argument("--data-npy", default=None,
+                   help="uint8 (N,H,W,3) npy dataset; random data if omitted")
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="save an orbax checkpoint every N steps (0 = only at "
+                        "the end when --data-npy is set)")
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--force-platform", default=None)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--remat", action="store_true",
@@ -181,16 +187,38 @@ def main(argv=None):
         perceptual_weight=args.perceptual_weight if lpips_params else 0.0,
         disc_weight=args.disc_weight)
 
-    steps = 0
+    ckpt = None
+    if args.data_npy or args.ckpt_every:
+        from ..core.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(f"{args.results_dir}/checkpoints")
+        if args.resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            logger.info(f"resumed VQ training from step {int(state.step)}")
+
+    data = None
+    if args.data_npy:
+        data = np.load(args.data_npy)          # uint8 (N, H, W, 3)
+        assert data.dtype == np.uint8 and data.shape[1] == size, data.shape
+        logger.info(f"dataset: {data.shape[0]} images @{size} "
+                    f"({args.data_npy})")
+
+    def next_batch(step: int) -> np.ndarray:
+        rs = np.random.RandomState(step)
+        if data is None:
+            return (rs.rand(args.global_batch_size, size, size, 3)
+                    .astype(np.float32) * 2 - 1)
+        idx = rs.randint(0, data.shape[0], args.global_batch_size)
+        imgs = data[idx].astype(np.float32) / 127.5 - 1.0
+        flips = rs.rand(len(idx)) < 0.5       # hflip aug (ref vq_train data)
+        imgs[flips] = imgs[flips, :, ::-1]
+        return imgs
+
+    steps = int(state.step) if hasattr(state, "step") else 0
     last_t = time.time()
-    logger.info(f"VQ-GAN training {args.vq_model} @{size} (synthetic smoke "
-                f"data unless a dataset is wired)")
+    logger.info(f"VQ-GAN training {args.vq_model} @{size}")
     while args.max_steps is None or steps < args.max_steps:
-        rs = np.random.RandomState(steps)
-        images = jnp.asarray(
-            rs.rand(args.global_batch_size, size, size, 3).astype(np.float32)
-            * 2 - 1)
-        images = jax.device_put(images, pmesh.data_sharding(mesh, 4))
+        images = jax.device_put(jnp.asarray(next_batch(steps)),
+                                pmesh.data_sharding(mesh, 4))
         state, metrics = train_iteration(state, images, gen_jit, disc_jit)
         steps += 1
         if steps % args.log_every == 0:
@@ -200,6 +228,13 @@ def main(argv=None):
                         f"disc {float(metrics['disc']):.4f} "
                         f"steps/s {args.log_every / dt:.2f}")
             last_t = time.time()
+        if ckpt is not None and args.ckpt_every \
+                and steps % args.ckpt_every == 0:
+            ckpt.save(steps, state._asdict())
+    if ckpt is not None:
+        ckpt.save(steps, state._asdict())
+        ckpt.wait()
+        logger.info(f"saved final VQ checkpoint at step {steps}")
     return state
 
 
