@@ -1,0 +1,116 @@
+"""t2v at reference scale, to pixels, with numbers (VERDICT r1 next-step #6).
+
+Stages (one per invocation):
+  sample --sampler ar|ar_mse|maskgit   17f@256 through the chosen head on
+                                       the chip, tiled CausalVAE decode, mp4,
+                                       wall-times recorded
+  roundtrip                            synthetic 17f@256 clip -> tiled encode
+                                       -> tiled decode -> PSNR/SSIM via
+                                       evals/eval_common_metric
+Numbers accumulate in results_t2v/t2v_report.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "results_t2v")
+
+
+def _record(key, value):
+    os.makedirs(ROOT, exist_ok=True)
+    path = f"{ROOT}/t2v_report.json"
+    table = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            table = json.load(f)
+    table[key] = value
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1)
+    print(f"recorded {key} -> {value}")
+
+
+def stage_sample(args):
+    os.makedirs(ROOT, exist_ok=True)
+    from video_llamagen_tpu.inference import sample_t2v
+    t0 = time.perf_counter()
+    sample_t2v.main([
+        "--gpt-model", "GPT-B", "--sampler", args.sampler,
+        "--image-size", "256", "--downsample-size", "8",
+        "--num-frames", "17", "--cls-token-num", "120",
+        "--num-sampling-steps", args.num_sampling_steps,
+        "--cfg-scale", "4.0", "--batch", "1", "--tiled", "--time",
+        "--out", f"{ROOT}/t2v_{args.sampler}",
+    ])
+    total = time.perf_counter() - t0
+    frames = np.load(f"{ROOT}/t2v_{args.sampler}_frames.npy")
+    _record(f"sample_{args.sampler}", {
+        "frames": list(frames.shape), "total_wall_s": round(total, 1),
+        "finite": bool(np.isfinite(frames).all()),
+    })
+
+
+def stage_roundtrip(args):
+    """Tiled encode->decode roundtrip of a structured synthetic clip."""
+    import jax
+    import jax.numpy as jnp
+    from video_llamagen_tpu.core.config import CausalVAEConfig
+    from video_llamagen_tpu.tokenizers.causal_vae import model as cvae
+
+    # moving-gradient clip: smooth, compressible, motion across frames
+    t, hw = 17, 256
+    yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32) / hw
+    frames = np.stack([
+        np.stack([np.sin(4 * (xx + 0.05 * ti)), np.cos(3 * (yy - 0.04 * ti)),
+                  np.sin(5 * (xx + yy + 0.03 * ti))], axis=-1)
+        for ti in range(t)])
+    clip = frames[None].astype(np.float32)            # (1, 17, 256, 256, 3)
+
+    vcfg = CausalVAEConfig()
+    params = cvae.init_causal_vae_params(jax.random.key(0), vcfg)
+    t0 = time.perf_counter()
+    post = cvae.tiled_encode_spatial(params, vcfg, jnp.asarray(clip))
+    z = np.asarray(post.mean)
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dec = np.asarray(cvae.tiled_decode_spatial(params, vcfg, jnp.asarray(z)))
+    t_dec = time.perf_counter() - t0
+    print(f"tiled encode {t_enc:.1f}s (latent {z.shape}), decode {t_dec:.1f}s")
+
+    real_dir, fake_dir = f"{ROOT}/rt_real", f"{ROOT}/rt_fake"
+    os.makedirs(real_dir, exist_ok=True)
+    os.makedirs(fake_dir, exist_ok=True)
+    u8 = lambda x: np.clip(127.5 * x + 128.0, 0, 255).astype(np.uint8)
+    np.save(f"{real_dir}/0.npy", u8(clip[0]))
+    np.save(f"{fake_dir}/0.npy", u8(dec[0]))
+
+    from video_llamagen_tpu.evals import eval_common_metric
+    res = eval_common_metric.main([
+        "--real-path", real_dir, "--fake-path", fake_dir,
+        "--metric", "psnr", "ssim"])
+    rec = {"encode_s": round(t_enc, 1), "decode_s": round(t_dec, 1),
+           "latent_shape": list(z.shape)}
+    if isinstance(res, dict):
+        rec.update({k: round(float(v), 4) for k, v in res.items()})
+    _record("vae_roundtrip_random_init", rec)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("stage", choices=["sample", "roundtrip"])
+    p.add_argument("--sampler", default="ar",
+                   choices=["ar", "ar_mse", "maskgit"])
+    p.add_argument("--num-sampling-steps", default="100")
+    args = p.parse_args()
+    globals()[f"stage_{args.stage}"](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

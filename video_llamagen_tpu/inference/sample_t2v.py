@@ -45,7 +45,13 @@ def main(argv=None):
     p.add_argument("--t5-feature-files", nargs="+", default=None)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--out", default="sample_t2v")
+    p.add_argument("--tiled", action="store_true",
+                   help="decode through the tiled CausalVAE path (temporal "
+                        "17-frame windows + spatial tiles with blended seams)")
+    p.add_argument("--time", dest="do_time", action="store_true",
+                   help="print wall-times of the AR loop and the VAE decode")
     args = p.parse_args(argv)
+    import time as _time
 
     latent = args.image_size // args.downsample_size
     head = {"ar": "diff", "ar_mse": "mse", "maskgit": "mask_diff"}[args.sampler]
@@ -78,6 +84,7 @@ def main(argv=None):
         print("WARNING: random video GPT weights (smoke mode)")
 
     rng = jax.random.key(args.seed)
+    t0 = _time.perf_counter()
     if args.sampler == "ar":
         latents = gen.generate_ar(params, cfg, cond, rng,
                                   cfg_scale=args.cfg_scale,
@@ -90,6 +97,10 @@ def main(argv=None):
                                        cfg_scale=args.cfg_scale,
                                        temperature=args.temperature)
     latents = np.asarray(latents)
+    if args.do_time:
+        print(f"AR loop ({args.sampler}) wall-time: "
+              f"{_time.perf_counter() - t0:.2f}s "
+              f"(incl. compile on first run)")
     np.save(f"{args.out}_latents.npy", latents)
     print(f"latents {latents.shape} -> {args.out}_latents.npy")
 
@@ -109,7 +120,15 @@ def main(argv=None):
     b = latents.shape[0]
     vae_t = cfg.vae_t
     z = latents.reshape(b, vae_t, latent, latent, args.vae_embed_dim)
-    frames = np.asarray(cvae.decode(vae_params, vcfg, jnp.asarray(z)))
+    t0 = _time.perf_counter()
+    if args.tiled:
+        frames = np.asarray(cvae.tiled_decode_spatial(vae_params, vcfg,
+                                                      jnp.asarray(z)))
+    else:
+        frames = np.asarray(cvae.decode(vae_params, vcfg, jnp.asarray(z)))
+    if args.do_time:
+        print(f"CausalVAE decode wall-time: {_time.perf_counter() - t0:.2f}s "
+              f"({'tiled' if args.tiled else 'direct'})")
     frames01 = np.clip((frames + 1) / 2, 0, 1)
     np.save(f"{args.out}_frames.npy", frames01)
     print(f"frames {frames01.shape} -> {args.out}_frames.npy")
