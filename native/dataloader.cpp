@@ -6,9 +6,19 @@
 //
 // C API (ctypes-friendly):
 //   vlg_loader_create(paths, n_files, batch, capacity, threads) -> handle
+//   vlg_loader_create_ex(..., flags, seed)  adds in-worker transforms
 //   vlg_loader_next(handle, out_data, out_shape, out_ndim) -> sample count
 //   vlg_loader_release(handle, batch_id)
 //   vlg_loader_destroy(handle)
+//
+// Transform flags (vlg_loader_create_ex): the per-sample CPU work our image
+// trainers would otherwise do in Python runs on the worker threads instead
+// (the reference's DataLoader workers do decode+transform the same way;
+// raw video/JPEG decode stays out of scope — the supported input is
+// precomputed .npy tensors/latents, see native_loader.py docstring):
+//   1 NORMALIZE_PM1: u1 pixels -> [-1, 1] floats (default u1 -> [0, 1])
+//   2 RANDOM_HFLIP:  per-sample horizontal flip of rank-3 (H, W, C) samples,
+//                    deterministic in (seed, sample index)
 //
 // Supports .npy v1/v2, little-endian f4/i4/u1, C-order.
 
@@ -96,10 +106,23 @@ struct Batch {
   int64_t id = 0;
 };
 
+constexpr int64_t kNormalizePm1 = 1;
+constexpr int64_t kRandomHflip = 2;
+
+// splitmix64: cheap deterministic per-sample hash for augmentation draws
+inline uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
 struct Loader {
   std::vector<std::string> paths;
   int64_t batch_size;
   size_t capacity;
+  int64_t flags = 0;
+  uint64_t seed = 0;
   std::atomic<int64_t> next_index{0};
   std::atomic<bool> stop{false};
 
@@ -151,8 +174,25 @@ struct Loader {
             batch->data[off + static_cast<size_t>(k)] = static_cast<float>(src[k]);
         } else {  // u1
           const uint8_t* src = reinterpret_cast<const uint8_t*>(arr.data.data());
-          for (int64_t k = 0; k < elems; ++k)
-            batch->data[off + static_cast<size_t>(k)] = src[k] / 255.0f;
+          if (flags & kNormalizePm1) {
+            for (int64_t k = 0; k < elems; ++k)
+              batch->data[off + static_cast<size_t>(k)] =
+                  src[k] / 127.5f - 1.0f;
+          } else {
+            for (int64_t k = 0; k < elems; ++k)
+              batch->data[off + static_cast<size_t>(k)] = src[k] / 255.0f;
+          }
+        }
+        if ((flags & kRandomHflip) && arr.shape.size() == 3 &&
+            (mix64(seed ^ static_cast<uint64_t>(i)) & 1)) {
+          // reverse the W axis of this (H, W, C) sample in place
+          const int64_t h = arr.shape[0], w = arr.shape[1], c = arr.shape[2];
+          float* s = batch->data.data() + off;
+          for (int64_t y = 0; y < h; ++y)
+            for (int64_t x = 0; x < w / 2; ++x)
+              for (int64_t ch = 0; ch < c; ++ch)
+                std::swap(s[(y * w + x) * c + ch],
+                          s[(y * w + (w - 1 - x)) * c + ch]);
         }
         batch->count++;
       }
@@ -172,17 +212,26 @@ struct Loader {
 
 extern "C" {
 
-void* vlg_loader_create(const char** paths, int64_t n_files,
-                        int64_t batch_size, int64_t capacity,
-                        int64_t n_threads) {
+void* vlg_loader_create_ex(const char** paths, int64_t n_files,
+                           int64_t batch_size, int64_t capacity,
+                           int64_t n_threads, int64_t flags, int64_t seed) {
   auto* l = new Loader();
   l->paths.reserve(static_cast<size_t>(n_files));
   for (int64_t i = 0; i < n_files; ++i) l->paths.emplace_back(paths[i]);
   l->batch_size = batch_size;
   l->capacity = static_cast<size_t>(capacity);
+  l->flags = flags;
+  l->seed = static_cast<uint64_t>(seed);
   for (int64_t i = 0; i < n_threads; ++i)
     l->workers.emplace_back([l] { l->worker(); });
   return l;
+}
+
+void* vlg_loader_create(const char** paths, int64_t n_files,
+                        int64_t batch_size, int64_t capacity,
+                        int64_t n_threads) {
+  return vlg_loader_create_ex(paths, n_files, batch_size, capacity,
+                              n_threads, 0, 0);
 }
 
 // Returns sample count (0 = exhausted). Fills *out_data with a pointer valid

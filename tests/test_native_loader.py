@@ -65,3 +65,37 @@ def test_python_fallback(tmp_path, monkeypatch):
     batches = list(loader)
     assert len(batches) == 2
     np.testing.assert_allclose(batches[0][0], np.load(paths[0]))
+
+
+def test_native_transforms(tmp_path):
+    """In-worker NORMALIZE_PM1 + RANDOM_HFLIP: values in [-1,1], flips are
+    seed-deterministic, unflipped samples match numpy exactly."""
+    from video_llamagen_tpu.data.native_loader import (
+        NativeNpyLoader, NORMALIZE_PM1, RANDOM_HFLIP, native_available)
+    rs = np.random.RandomState(0)
+    paths = []
+    raw = []
+    for i in range(6):
+        a = rs.randint(0, 256, (4, 6, 3), np.uint8)
+        p = tmp_path / f"{i}.npy"
+        np.save(p, a)
+        paths.append(str(p))
+        raw.append(a)
+
+    loader = NativeNpyLoader(paths, batch_size=6, n_threads=1,
+                             flags=NORMALIZE_PM1 | RANDOM_HFLIP, seed=7)
+    (batch,) = list(loader)
+    assert batch.shape == (6, 4, 6, 3)
+    assert batch.min() >= -1.0 and batch.max() <= 1.0
+    for i in range(6):
+        want = raw[i].astype(np.float32) / 127.5 - 1.0
+        straight = np.abs(batch[i] - want).max() < 1e-6
+        flipped = np.abs(batch[i] - want[:, ::-1]).max() < 1e-6
+        assert straight or flipped, i
+
+    if native_available():
+        # determinism: a second pass flips the same samples
+        (batch2,) = list(NativeNpyLoader(paths, batch_size=6, n_threads=1,
+                                         flags=NORMALIZE_PM1 | RANDOM_HFLIP,
+                                         seed=7))
+        np.testing.assert_array_equal(batch, batch2)

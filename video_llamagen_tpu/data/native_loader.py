@@ -35,6 +35,10 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.vlg_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64]
+    lib.vlg_loader_create_ex.restype = ctypes.c_void_p
+    lib.vlg_loader_create_ex.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
     lib.vlg_loader_next.restype = ctypes.c_int64
     lib.vlg_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
@@ -59,15 +63,27 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
+NORMALIZE_PM1 = 1   # u1 pixels -> [-1, 1] (training-ready)
+RANDOM_HFLIP = 2    # per-sample hflip of (H, W, C) samples, seed-deterministic
+
+
 class NativeNpyLoader:
-    """Iterate float32 batches over a list of .npy files (one sample each)."""
+    """Iterate float32 batches over a list of .npy files (one sample each).
+
+    `flags` moves per-sample transform work onto the C++ worker threads
+    (NORMALIZE_PM1 | RANDOM_HFLIP). Scope boundary: inputs are precomputed
+    .npy tensors/latents — raw JPEG/video decode is intentionally out of
+    scope (the reference pipelines we mirror consume precomputed T5 features
+    and VQ codes/latents the same way; see SURVEY.md §2.7)."""
 
     def __init__(self, paths: List[str], batch_size: int, capacity: int = 4,
-                 n_threads: int = 2):
+                 n_threads: int = 2, flags: int = 0, seed: int = 0):
         self.paths = list(paths)
         self.batch_size = batch_size
         self.capacity = capacity
         self.n_threads = n_threads
+        self.flags = flags
+        self.seed = seed
         self._lib = get_lib()
 
     def __iter__(self) -> Iterator[np.ndarray]:
@@ -76,9 +92,9 @@ class NativeNpyLoader:
             return
         arr = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths])
-        handle = self._lib.vlg_loader_create(
+        handle = self._lib.vlg_loader_create_ex(
             arr, len(self.paths), self.batch_size, self.capacity,
-            self.n_threads)
+            self.n_threads, self.flags, self.seed)
         try:
             while True:
                 data_ptr = ctypes.POINTER(ctypes.c_float)()
@@ -100,12 +116,20 @@ class NativeNpyLoader:
             self._lib.vlg_loader_destroy(handle)
 
     def _python_fallback(self) -> Iterator[np.ndarray]:
+        import numpy.random as npr
         for i in range(0, len(self.paths) - self.batch_size + 1,
                        self.batch_size):
             items = []
-            for p in self.paths[i:i + self.batch_size]:
+            for j, p in enumerate(self.paths[i:i + self.batch_size]):
                 a = np.load(p)
-                items.append(a.astype(np.float32) / 255.0
-                             if a.dtype == np.uint8 else
-                             a.astype(np.float32))
+                if a.dtype == np.uint8:
+                    x = (a.astype(np.float32) / 127.5 - 1.0
+                         if self.flags & NORMALIZE_PM1
+                         else a.astype(np.float32) / 255.0)
+                else:
+                    x = a.astype(np.float32)
+                if (self.flags & RANDOM_HFLIP) and x.ndim == 3 and \
+                        npr.RandomState(self.seed + i + j).rand() < 0.5:
+                    x = x[:, ::-1]
+                items.append(x)
             yield np.stack(items)
