@@ -75,9 +75,22 @@ def bench_online(args):
                    n_tokens=args.n_tokens)
     sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
 
-    # warm the compiled paths (prefill batch sizes 1..batch, decode windows)
-    eng.generate(list(range(2)), sp, offline_fast_path=False)
-    eng.stats.update(requests_done=0, tokens_generated=0, steps=0)
+    # Warm every compiled shape the Poisson run can hit BEFORE the clock
+    # starts: prefill pow2 buckets (admission sizes pad to {1,2,4,8,16}) and
+    # decode windows {1, 8, window} (ramp-down windows no longer exist —
+    # finishing requests overshoot and trim). A cold compile mid-run costs
+    # minutes over the tunnel and would poison the latency percentiles.
+    warm_sp = SamplingParams(max_tokens=3 * args.decode_window, cfg_scale=2.0,
+                             top_k=1000)
+    warm_cond = 900   # distinct per request so every warm admission is a
+    for m in (min(args.batch + 1, 2 * args.batch), args.batch, 3, 2, 1):
+        for i in range(m):     # prefix-cache MISS with the right jobs count
+            eng.add_request(np.int32(warm_cond), warm_sp)
+            warm_cond += 1
+        while eng.has_unfinished():
+            eng.step()
+    eng.stats.update(requests_done=0, tokens_generated=0, steps=0,
+                     prefix_hits=0, prefix_misses=0)
 
     rng = np.random.default_rng(0)
     arrivals = np.cumsum(rng.exponential(1.0 / args.rate, args.num_requests))

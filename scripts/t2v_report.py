@@ -76,8 +76,8 @@ def stage_roundtrip(args):
     vcfg = CausalVAEConfig()
     params = cvae.init_causal_vae_params(jax.random.key(0), vcfg)
     t0 = time.perf_counter()
-    post = cvae.tiled_encode_spatial(params, vcfg, jnp.asarray(clip))
-    z = np.asarray(post.mean)
+    # tiled_encode_spatial returns the (mode) latent array directly
+    z = np.asarray(cvae.tiled_encode_spatial(params, vcfg, jnp.asarray(clip)))
     t_enc = time.perf_counter() - t0
     t0 = time.perf_counter()
     dec = np.asarray(cvae.tiled_decode_spatial(params, vcfg, jnp.asarray(z)))

@@ -61,9 +61,11 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     The per-step engine loop costs one host round-trip per token, which over
     a network-attached chip dominates the online path (VERDICT r1 weak #6).
     Here the slot->row fan-out, decode, CFG mix, and per-request sampling all
-    run inside a compiled lax.scan; the host syncs once per k tokens. The
-    caller picks k <= min remaining tokens over active slots so no request
-    overshoots (vLLM amortizes the same loop with CUDA-graph replay).
+    run inside a compiled lax.scan; the host syncs once per k tokens. A
+    request may finish mid-window: the engine trims its surplus tokens and
+    the surplus KV writes land at clamped positions that are always
+    re-written before any later read (vLLM amortizes the same loop with
+    CUDA-graph replay).
 
     slot_tokens (R/2,) int32; returns ((k, R/2) tokens, pos, cache).
     """
@@ -391,9 +393,17 @@ class ServeEngine:
                        row_u, null_emb, prefill_mask)
 
         if jobs:
-            embs = jnp.concatenate([j[2] for j in jobs], axis=0)
-            masks = jnp.asarray(np.stack([j[3] for j in jobs]))  # (M,1,T,T)
-            rows = jnp.asarray(np.array([j[1] for j in jobs], np.int32))
+            # pad the prefill batch to the next power of two by repeating the
+            # last job (duplicate scatter rows write identical values), so the
+            # compile count stays log-bounded instead of one graph per
+            # distinct admission size.
+            m_pad = 1
+            while m_pad < len(jobs):
+                m_pad *= 2
+            padded = jobs + [jobs[-1]] * (m_pad - len(jobs))
+            embs = jnp.concatenate([j[2] for j in padded], axis=0)
+            masks = jnp.asarray(np.stack([j[3] for j in padded]))  # (M,1,T,T)
+            rows = jnp.asarray(np.array([j[1] for j in padded], np.int32))
             logits_all, self.cache = self._prefill_rows_batched(
                 self.model_params, self.cfg, embs, masks, self.freqs_cis,
                 self.cache, rows, self.kv_int8)
@@ -430,17 +440,17 @@ class ServeEngine:
             self.pos[row_u] = self.t_cond
 
     def _pick_window(self, active_slots) -> int:
-        """Decode steps to fuse this iteration: bounded by decode_window and
-        every active request's remaining budget; forced to 1 while admissions
-        are possible (queued work + a free slot). Power-of-2 bucketed so the
-        compile count stays bounded."""
+        """Decode steps to fuse this iteration: forced to 1 while admissions
+        are possible (queued work + a free slot), capped at 8 under queue
+        pressure. Deliberately NOT clamped to the requests' remaining budgets:
+        a finishing request overshoots by < window steps (surplus trimmed in
+        step()), which keeps the compiled-window set tiny ({1, 8, window})
+        instead of ramping down through every power of two per request."""
         if self.decode_window <= 1:
             return 1
         if self.queue and any(s is None for s in self.slots):
             return 1
-        remaining = min(self.slots[i].params.max_tokens -
-                        len(self.slots[i].tokens) for i in active_slots)
-        k = min(self.decode_window, max(remaining, 1))
+        k = self.decode_window
         if self.queue:
             k = min(k, 8)   # keep admission latency bounded under load
         p = 1
@@ -489,8 +499,9 @@ class ServeEngine:
         finished = []
         for i in active_slots:
             req = self.slots[i]
-            req.tokens.extend(int(t) for t in toks[:, i])
-            self.stats["tokens_generated"] += k
+            take = min(k, req.params.max_tokens - len(req.tokens))
+            req.tokens.extend(int(t) for t in toks[:take, i])
+            self.stats["tokens_generated"] += take
             if req.finished:
                 req.finish_t = time.monotonic()
                 finished.append(req)
