@@ -115,11 +115,13 @@ def stage_recon(args):
     params = load_vq_orbax(f"{ROOT}/checkpoints", vcfg)
     val = np.load(f"{ROOT}/val_images.npy")
     recs = []
-    fwd = jax.jit(lambda x: vq.forward(params, vcfg, x)[0])
+    # params as an ARGUMENT: closing over them ships the weights in the
+    # remote-compile request (HTTP 413 over the axon tunnel)
+    fwd = jax.jit(lambda p, x: vq.forward(p, vcfg, x)[0])
     for i in range(0, len(val), 64):
         x = jnp.asarray(val[i:i + 64].astype(np.float32) / 127.5 - 1)
-        recs.append(np.asarray(jnp.clip(127.5 * fwd(x) + 128.0, 0, 255)
-                               ).astype(np.uint8))
+        recs.append(np.asarray(jnp.clip(127.5 * fwd(params, x) + 128.0,
+                                        0, 255)).astype(np.uint8))
     rec = np.concatenate(recs)
     mse = ((rec.astype(np.float32) - val.astype(np.float32)) ** 2).mean()
     psnr = 10 * np.log10(255.0 ** 2 / mse)
