@@ -130,3 +130,30 @@ def test_sample_npz_cli(tmp_path):
     d = np.load(out)
     assert d["arr_0"].shape == (6, 64, 64, 3) and d["arr_0"].dtype == np.uint8
     assert set(d["arr_1"]) <= set(range(4))
+
+
+def test_evaluator_activation_cache(tmp_path):
+    """evaluator.main caches per-npz activations (<npz>.acts-<key>.npz) and a
+    cached rerun reproduces the metrics bit-for-bit — reruns against the same
+    reference batch skip the on-chip Inception recompute."""
+    import glob
+
+    from video_llamagen_tpu.evals.evaluator import main
+
+    rs = np.random.RandomState(0)
+    ref = str(tmp_path / "ref.npz")
+    smp = str(tmp_path / "smp.npz")
+    np.savez(ref, arr_0=rs.randint(0, 256, (6, 32, 32, 3), dtype=np.uint8))
+    np.savez(smp, arr_0=rs.randint(0, 256, (6, 32, 32, 3), dtype=np.uint8))
+
+    first = main([ref, smp, "--batch", "4"])
+    caches = glob.glob(str(tmp_path / "*.acts-*.npz"))
+    assert len(caches) == 2, caches
+    second = main([ref, smp, "--batch", "4"])
+    assert first.keys() == second.keys()
+    for k in first:
+        np.testing.assert_array_equal(first[k], second[k])
+
+    # a different limit must key a different cache entry, not reuse stale acts
+    main([ref, smp, "--batch", "4", "--limit", "4"])
+    assert len(glob.glob(str(tmp_path / "*.acts-*.npz"))) == 4

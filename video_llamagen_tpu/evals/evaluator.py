@@ -11,6 +11,8 @@ for smoke/relative use (clearly warned).
 from __future__ import annotations
 
 import argparse
+import hashlib
+import os
 
 import numpy as np
 import jax
@@ -25,6 +27,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--force-platform", default=None)
+    p.add_argument("--no-cache", action="store_true",
+                   help="disable the <npz>.acts-<key>.npz activation cache")
     args = p.parse_args(argv)
 
     if args.force_platform:
@@ -48,10 +52,34 @@ def main(argv=None):
         assert arr.dtype == np.uint8 and arr.ndim == 4, (arr.dtype, arr.shape)
         return arr
 
-    print("computing reference batch activations...")
-    ref = extract_fid_features(params, load(args.ref_batch), args.batch)
-    print("computing sample batch activations...")
-    samp = extract_fid_features(params, load(args.sample_batch), args.batch)
+    ckpt_id = (os.path.basename(args.inception_ckpt) if args.inception_ckpt
+               else "random0")
+
+    def features(path, label):
+        """Activations for one npz, cached next to it keyed by file content +
+        inception weights + limit (reruns against the same reference batch —
+        the common case in a FID-vs-steps sweep — skip the ~15 min on-chip
+        recompute)."""
+        cache = None
+        if not args.no_cache:
+            h = hashlib.sha1()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 22), b""):
+                    h.update(chunk)
+            key = f"{h.hexdigest()[:12]}-{ckpt_id}-{args.limit or 'all'}"
+            cache = f"{path}.acts-{key}.npz"
+            if os.path.exists(cache):
+                print(f"{label} activations from cache {cache}")
+                d = np.load(cache)
+                return {k: d[k] for k in d.files}
+        print(f"computing {label} batch activations...")
+        out = extract_fid_features(params, load(path), args.batch)
+        if cache:
+            np.savez(cache, **out)
+        return out
+
+    ref = features(args.ref_batch, "reference")
+    samp = features(args.sample_batch, "sample")
 
     out = compute_fid_suite(ref["pool3"], samp["pool3"],
                             spatial_ref=ref["spatial"],
