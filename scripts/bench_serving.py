@@ -32,7 +32,19 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
     cfg = gpt_config(model, vocab_size=16384, block_size=n_tokens,
                      num_classes=1000, cls_token_num=1, model_type="c2i",
                      dtype="bfloat16")
-    params = gpt.init_gpt_params(jax.random.key(0), cfg)
+
+    # Fabricate bench weights in ONE jit (init -> bf16 cast -> optional int8
+    # quantize): XLA frees the f32/bf16 intermediates layer by layer, so peak
+    # HBM is the FINAL tree, not init+cast+quantize stacked. Eager fabrication
+    # OOMs GPT-3B (12.4 GB f32 alone) on this chip.
+    def fabricate(key):
+        p = gpt.cast_params(gpt.init_gpt_params(key, cfg), jnp.bfloat16)
+        if weight_int8:
+            from video_llamagen_tpu.ops.quant import quantize_gpt_params
+            p = quantize_gpt_params(p)
+        return p
+
+    params = jax.jit(fabricate)(jax.random.key(0))
     eng = ServeEngine(params, cfg, max_batch=max_batch,
                       weight_int8=weight_int8, kv_int8=kv_int8,
                       decode_window=decode_window)

@@ -106,3 +106,27 @@ def test_quantized_params_shard_and_run():
     got, _ = gpt.forward(qsharded, cfg, idx, cond)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_engine_accepts_prequantized_params():
+    """A tree that is ALREADY QuantizedLinear passes through ServeEngine's
+    weight_int8 path untouched (no double quantization) and generates
+    identically to engine-side quantization — HBM-tight models (GPT-3B) are
+    fabricated/loaded int8 up front so bf16+int8 never coexist on device."""
+    from video_llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+
+    params = gpt.init_gpt_params(jax.random.key(7), CFG)
+    sp = SamplingParams(max_tokens=6, cfg_scale=1.5, top_k=0,
+                        temperature=1.0)
+
+    eng_inside = ServeEngine(params, CFG, max_batch=2, dtype=jnp.float32,
+                             weight_int8=True)
+    eng_pre = ServeEngine(quantize_gpt_params(params), CFG, max_batch=2,
+                          dtype=jnp.float32, weight_int8=True)
+    leaf = eng_pre.model_params["layers"]["attention"]["wqkv"]
+    assert isinstance(leaf, QuantizedLinear) and leaf.q.dtype == jnp.int8
+
+    conds = [np.int32(1), np.int32(2)]
+    a = eng_inside.generate(conds, sp)
+    b = eng_pre.generate(conds, sp)
+    assert [x.tokens for x in a] == [x.tokens for x in b]

@@ -136,8 +136,14 @@ class ServeEngine:
         if weight_int8:
             # per-output-channel int8 weights (W8A16): half the weight HBM
             # stream; ops/nn.linear dispatches on the QuantizedLinear leaves.
-            from ..ops.quant import quantize_gpt_params
-            self.model_params = quantize_gpt_params(self.model_params)
+            # Pre-quantized trees pass through untouched, so HBM-tight models
+            # (GPT-3B) can be fabricated/loaded already-int8 without ever
+            # materializing bf16 + int8 on the device together.
+            from ..ops.quant import QuantizedLinear, quantize_gpt_params
+            is_q = lambda n: isinstance(n, QuantizedLinear)
+            if not any(map(is_q, jax.tree_util.tree_leaves(
+                    self.model_params, is_leaf=is_q))):
+                self.model_params = quantize_gpt_params(self.model_params)
         if mesh is not None:
             from ..parallel import mesh as pmesh
             self.model_params = pmesh.shard_params(self.model_params, mesh)
