@@ -73,7 +73,9 @@ def bench_offline(args):
                "tok_s": round(args.batch * args.n_tokens / dt, 1),
                "iter_times": [round(t, 3) for t in times]}
         print(json.dumps(rec), flush=True)
-        out[model] = rec
+        key = model + ("_w8" if args.weight_int8 else "") \
+                    + ("_kv8" if args.kv_int8 else "")
+        out[key] = rec
         del eng
     _merge("bench_serving_offline.json", out)
 
