@@ -139,7 +139,19 @@ def main(argv=None):
             imageio.mimwrite(f"{args.out}_{i}.mp4", u8, fps=8)
         print(f"wrote {b} mp4 file(s)")
     except Exception as e:  # imageio may lack an ffmpeg/pyav backend
-        print(f"mp4 export unavailable ({type(e).__name__}); frames saved as npy")
+        print(f"mp4 export unavailable ({type(e).__name__}); writing GIFs")
+        write_gifs(frames01, args.out)
+
+
+def write_gifs(frames01: np.ndarray, out_prefix: str) -> None:
+    """(B, T, H, W, 3) floats in [0,1] -> one animated GIF per clip (PIL is
+    always available; the mp4 path needs an ffmpeg/pyav imageio backend)."""
+    from PIL import Image
+    for i, clip in enumerate(frames01):
+        ims = [Image.fromarray((f * 255).astype(np.uint8)) for f in clip]
+        ims[0].save(f"{out_prefix}_{i}.gif", save_all=True,
+                    append_images=ims[1:], duration=125, loop=0)
+    print(f"wrote {len(frames01)} gif file(s)")
 
 
 if __name__ == "__main__":
