@@ -156,14 +156,15 @@ def stage_gpt(args):
         "--code-path", f"{ROOT}/codes", "--global-batch-size", "128",
         "--epochs", "10000", "--max-steps", str(args.steps),
         "--ckpt-every", str(args.ckpt_every), "--log-every", "50",
-        "--results-dir", f"{ROOT}/gpt", "--resume",
+        "--results-dir", f"{ROOT}/{args.gpt_dir}", "--resume",
     ])
 
 
 def stage_sample(args):
     from video_llamagen_tpu.inference import sample_npz
     sample_npz.main([
-        "--gpt-model", "GPT-B", "--gpt-orbax", f"{ROOT}/gpt/checkpoints",
+        "--gpt-model", "GPT-B",
+        "--gpt-orbax", f"{ROOT}/{args.gpt_dir}/checkpoints",
         "--gpt-step", str(args.step), "--vq-model", "VQ-8",
         "--vq-orbax", f"{ROOT}/checkpoints",
         "--image-size", str(SIZE), "--downsample-size", "8",
@@ -220,6 +221,9 @@ def main():
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--num-samples", type=int, default=4096)
     p.add_argument("--cfg-scale", type=float, default=2.0)
+    p.add_argument("--gpt-dir", default="gpt",
+                   help="GPT results subdir under results_quality (a separate "
+                        "dir trains a fresh model for early trajectory points)")
     args = p.parse_args()
     globals()[f"stage_{args.stage}"](args)
 
