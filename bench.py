@@ -4,9 +4,11 @@ Baseline: the reference's serving benchmark (autoregressive/serve/README.md:13:
 GPT-L batch-8 c2i @384 = 576 tokens in 3.48 s with vLLM on A100 → ~1324
 tok/s). North-star from BASELINE.json: ≥5,000 VQ tokens/sec/chip — a
 per-CHIP throughput target, so the bench runs the throughput-optimal batch
-(64; weight streaming amortizes) in bf16 (apples-to-apples vs the fp16 A100
-run; int8 KV adds another ~1.5x, see README ladder). Decode uses the ramped
-KV read-window scan (n_chunks=4, bit-identical outputs).
+(128, the largest whose 256 CFG rows of KV fit HBM; measured ladder
+8/64/96/128 = 1494/7754/6335/8152 tok/s — 96 pads to 256 rows and loses) in
+bf16 (apples-to-apples vs the fp16 A100 run; int8 KV reaches 12,404 tok/s,
+see README). Decode uses the ramped KV read-window scan (n_chunks=4,
+bit-identical outputs).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tok/s/chip", "vs_baseline": N}
@@ -34,7 +36,7 @@ def main():
         cfg = gpt_config("GPT-L", vocab_size=16384, block_size=576,
                          num_classes=1000, cls_token_num=1, model_type="c2i",
                          dtype="bfloat16")
-        batch, n_tokens, cfg_scale = 64, 576, 2.0
+        batch, n_tokens, cfg_scale = 128, 576, 2.0
     else:  # CPU smoke fallback so the script always runs
         cfg = gpt_config("GPT-B", vocab_size=16384, block_size=16,
                          num_classes=1000, cls_token_num=1, model_type="c2i",
@@ -70,7 +72,7 @@ def main():
 
     tok_s = batch * n_tokens / dt
     print(json.dumps({
-        "metric": "gpt_l_c2i_384_decode_throughput_b64" if on_tpu
+        "metric": "gpt_l_c2i_384_decode_throughput_b128" if on_tpu
                   else "gpt_tiny_cpu_smoke_throughput",
         "value": round(tok_s, 1),
         "unit": "tok/s/chip",

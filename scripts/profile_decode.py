@@ -97,6 +97,9 @@ CONFIGS = {
     "L_chunk4_kv8": ("GPT-L", 8, 576, 2.0, 1000, True,
                      {"n_chunks": 4, "kv_int8": True}),
     "M_b64_chunk4": ("GPT-L", 64, 576, 2.0, 1000, True, {"n_chunks": 4}),
+    "O_b96_chunk4": ("GPT-L", 96, 576, 2.0, 1000, True, {"n_chunks": 4}),
+    "O_b128_kv8": ("GPT-L", 128, 576, 2.0, 1000, True,
+                   {"n_chunks": 4, "kv_int8": True}),
 }
 
 
