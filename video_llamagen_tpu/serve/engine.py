@@ -447,18 +447,23 @@ class ServeEngine:
 
     def _pick_window(self, active_slots) -> int:
         """Decode steps to fuse this iteration: forced to 1 while admissions
-        are possible (queued work + a free slot), capped at 8 under queue
-        pressure. Deliberately NOT clamped to the requests' remaining budgets:
-        a finishing request overshoots by < window steps (surplus trimmed in
-        step()), which keeps the compiled-window set tiny ({1, 8, window})
-        instead of ramping down through every power of two per request."""
+        are possible (queued work + a free slot). Deliberately NOT clamped to
+        the requests' remaining budgets: a finishing request overshoots by
+        < window steps (surplus trimmed in step()), which keeps the compiled-
+        window set tiny ({1, window}) instead of ramping down through every
+        power of two per request.
+
+        No small-window cap under queue pressure: step() admits BEFORE
+        decoding, so a non-empty queue implies all slots are full and the
+        earliest possible admission is the next window boundary regardless —
+        shrinking the window there only multiplied host syncs exactly when
+        the engine was most loaded (bench_serving_online.json has the
+        saturated-throughput before/after)."""
         if self.decode_window <= 1:
             return 1
         if self.queue and any(s is None for s in self.slots):
             return 1
         k = self.decode_window
-        if self.queue:
-            k = min(k, 8)   # keep admission latency bounded under load
         p = 1
         while p * 2 <= k:
             p *= 2
