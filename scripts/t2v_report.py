@@ -58,23 +58,39 @@ def stage_sample(args):
 
 
 def stage_roundtrip(args):
-    """Tiled encode->decode roundtrip of a structured synthetic clip."""
+    """Tiled encode->decode roundtrip of a structured synthetic clip.
+
+    Default: random-init weights at 17f@256 (wall-time focus). With
+    --vae-orbax (+ --hidden-size/--frames/--resolution matching the training
+    run) it loads a train_vae checkpoint and evals on HELD-OUT moving-shape
+    clips (seeds >= 10**6, disjoint from training's step-indexed seeds), so
+    the PSNR/SSIM shows what the VAE learned."""
     import jax
     import jax.numpy as jnp
     from video_llamagen_tpu.core.config import CausalVAEConfig
     from video_llamagen_tpu.tokenizers.causal_vae import model as cvae
 
-    # moving-gradient clip: smooth, compressible, motion across frames
-    t, hw = 17, 256
-    yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32) / hw
-    frames = np.stack([
-        np.stack([np.sin(4 * (xx + 0.05 * ti)), np.cos(3 * (yy - 0.04 * ti)),
-                  np.sin(5 * (xx + yy + 0.03 * ti))], axis=-1)
-        for ti in range(t)])
-    clip = frames[None].astype(np.float32)            # (1, 17, 256, 256, 3)
+    t, hw = args.frames, args.resolution
+    if args.vae_orbax:
+        from video_llamagen_tpu.train.train_vae import moving_clips
+        clip = moving_clips(np.random.RandomState(10 ** 6), 2, t, hw)
+    else:
+        # moving-gradient clip: smooth, compressible, motion across frames
+        yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32) / hw
+        frames = np.stack([
+            np.stack([np.sin(4 * (xx + 0.05 * ti)),
+                      np.cos(3 * (yy - 0.04 * ti)),
+                      np.sin(5 * (xx + yy + 0.03 * ti))], axis=-1)
+            for ti in range(t)])
+        clip = frames[None].astype(np.float32)        # (1, t, hw, hw, 3)
 
-    vcfg = CausalVAEConfig()
-    params = cvae.init_causal_vae_params(jax.random.key(0), vcfg)
+    vcfg = CausalVAEConfig(hidden_size=args.hidden_size)
+    if args.vae_orbax:
+        from video_llamagen_tpu.core.checkpoint import load_vae_orbax
+        params = load_vae_orbax(args.vae_orbax, vcfg)
+        print(f"loaded VAE params from {args.vae_orbax}")
+    else:
+        params = cvae.init_causal_vae_params(jax.random.key(0), vcfg)
     t0 = time.perf_counter()
     # tiled_encode_spatial returns the (mode) latent array directly
     z = np.asarray(cvae.tiled_encode_spatial(params, vcfg, jnp.asarray(clip)))
@@ -88,8 +104,9 @@ def stage_roundtrip(args):
     os.makedirs(real_dir, exist_ok=True)
     os.makedirs(fake_dir, exist_ok=True)
     u8 = lambda x: np.clip(127.5 * x + 128.0, 0, 255).astype(np.uint8)
-    np.save(f"{real_dir}/0.npy", u8(clip[0]))
-    np.save(f"{fake_dir}/0.npy", u8(dec[0]))
+    for i in range(len(clip)):
+        np.save(f"{real_dir}/{i}.npy", u8(clip[i]))
+        np.save(f"{fake_dir}/{i}.npy", u8(dec[i]))
 
     from video_llamagen_tpu.evals import eval_common_metric
     res = eval_common_metric.main([
@@ -99,7 +116,9 @@ def stage_roundtrip(args):
            "latent_shape": list(z.shape)}
     if isinstance(res, dict):
         rec.update({k: round(float(v), 4) for k, v in res.items()})
-    _record("vae_roundtrip_random_init", rec)
+    key = "vae_roundtrip_trained" if args.vae_orbax \
+        else "vae_roundtrip_random_init"
+    _record(key, rec)
 
 
 def main():
@@ -108,6 +127,12 @@ def main():
     p.add_argument("--sampler", default="ar",
                    choices=["ar", "ar_mse", "maskgit"])
     p.add_argument("--num-sampling-steps", default="100")
+    p.add_argument("--vae-orbax", default=None,
+                   help="train_vae checkpoint dir; evals held-out "
+                        "moving-shape clips with the trained weights")
+    p.add_argument("--hidden-size", type=int, default=128)
+    p.add_argument("--frames", type=int, default=17)
+    p.add_argument("--resolution", type=int, default=256)
     args = p.parse_args()
     globals()[f"stage_{args.stage}"](args)
 

@@ -175,3 +175,31 @@ def test_remat_grads_match(params):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-4)
+
+
+def test_train_vae_moving_shapes_ckpt_and_loader(tmp_path):
+    """train_vae --moving-shapes checkpoints the GAN state and
+    core.checkpoint.load_vae_orbax restores the generator params exactly
+    (the trained-roundtrip eval path in scripts/t2v_report.py)."""
+    from video_llamagen_tpu.core.checkpoint import load_vae_orbax
+    from video_llamagen_tpu.core.config import CausalVAEConfig
+    from video_llamagen_tpu.train import train_vae
+
+    clips = train_vae.moving_clips(np.random.RandomState(0), 2, 3, 16)
+    assert clips.shape == (2, 3, 16, 16, 3)
+    assert clips.min() >= -1 and clips.max() <= 1
+    # temporal coherence: consecutive frames differ but not wildly
+    d = np.abs(clips[:, 1:] - clips[:, :-1]).mean()
+    assert 0 < d < 0.5
+
+    state = train_vae.main([
+        "--smoke", "--moving-shapes", "--max-steps", "2", "--log-every", "1",
+        "--ckpt-every", "2", "--global-batch-size", "2",
+        "--results-dir", str(tmp_path)])
+    vcfg = CausalVAEConfig(hidden_size=8, z_channels=2, embed_dim=2,
+                           ch_mult=(1, 2), num_res_blocks=1,
+                           time_downsample_levels=(0,), dtype="float32")
+    p = load_vae_orbax(str(tmp_path / "checkpoints"), vcfg)
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -115,6 +115,27 @@ def load_vq_orbax(directory: str, vcfg, step: Optional[int] = None,
     return state["params"]
 
 
+def load_vae_orbax(directory: str, vcfg, step: Optional[int] = None,
+                   ema: bool = False) -> Any:
+    """Load CausalVAE generator params from a train_vae orbax checkpoint dir
+    (the reference prefers 'ema_state_dict' when present, modeling_causalvae
+    load path — mirrored by ema=True)."""
+    from ..core.config import TrainConfig
+    from ..train.train_vae import create_vae_train_state
+    for with_ema in ((True, False) if ema else (False, True)):
+        try:
+            tmpl = create_vae_train_state(jax.random.key(0), vcfg,
+                                          TrainConfig(ema=with_ema))
+            state = _restore_state_dict(directory, tmpl._asdict(), step)
+            break
+        except Exception:
+            if with_ema == (False if ema else True):
+                raise
+    if ema and state.get("ema_params") is not None:
+        return state["ema_params"]
+    return state["params"]
+
+
 def save_params_npz(path: str, params: Any):
     """Flat .npz export for interchange/debugging."""
     flat = {}

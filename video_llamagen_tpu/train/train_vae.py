@@ -25,6 +25,32 @@ from ..tokenizers.causal_vae import model as cvae
 from ..tokenizers.causal_vae import losses as cvl
 
 
+def moving_clips(rs: np.random.RandomState, b: int, t: int,
+                 size: int) -> np.ndarray:
+    """(b, t, size, size, 3) float32 in [-1, 1]: one colored shape translating
+    over a smooth gradient background — structured, temporally-coherent stand-in
+    for video data under zero egress (the noise default can't show the VAE
+    learning anything)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    out = np.empty((b, t, size, size, 3), np.float32)
+    for i in range(b):
+        g = rs.rand() * 2 * np.pi
+        base = rs.rand(3) * 0.5 - 0.6
+        grad = (np.cos(g) * xx + np.sin(g) * yy) / size
+        bg = base[None, None] + grad[..., None] * (rs.rand(3) * 0.4 - 0.2)
+        color = rs.rand(3) * 1.2 - 0.1
+        cx, cy = rs.uniform(size * 0.25, size * 0.75, 2)
+        vx, vy = rs.uniform(-1.5, 1.5, 2) * size / 64.0
+        r = rs.uniform(size * 0.12, size * 0.25)
+        square = rs.rand() < 0.5
+        for ti in range(t):
+            dx, dy = xx - (cx + vx * ti), yy - (cy + vy * ti)
+            mask = (np.maximum(np.abs(dx), np.abs(dy)) <= r) if square \
+                else (dx * dx + dy * dy <= r * r)
+            out[i, ti] = np.where(mask[..., None], color[None, None], bg)
+    return np.clip(out, -1, 1)
+
+
 class VAETrainState(NamedTuple):
     step: jnp.ndarray
     params: Any
@@ -117,6 +143,12 @@ def main(argv=None):
                    help="rematerialize enc/dec blocks in backward")
     p.add_argument("--smoke", action="store_true",
                    help="tiny model + synthetic clips")
+    p.add_argument("--moving-shapes", action="store_true",
+                   help="train on structured moving-shape clips instead of "
+                        "noise (seeded; roundtrip evals hold out seeds)")
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="save an orbax checkpoint every N steps and at the "
+                        "end (0 = no checkpointing)")
     args = p.parse_args(argv)
 
     if args.force_platform:
@@ -140,14 +172,23 @@ def main(argv=None):
     gen_jit, disc_jit = make_vae_train_steps(cfg, tcfg, mesh,
                                              disc_start=args.disc_start,
                                              kl_weight=args.kl_weight)
+    ckpt = None
+    if args.ckpt_every:
+        from ..core.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(f"{args.results_dir}/checkpoints")
+
     rng = jax.random.key(1)
     steps = 0
     last_t = time.time()
     while args.max_steps is None or steps < args.max_steps:
         rs = np.random.RandomState(steps)
-        videos = jnp.asarray(
-            rs.rand(args.global_batch_size, frames, size, size, 3)
-            .astype(np.float32) * 2 - 1)
+        if args.moving_shapes:
+            videos = jnp.asarray(moving_clips(rs, args.global_batch_size,
+                                              frames, size))
+        else:
+            videos = jnp.asarray(
+                rs.rand(args.global_batch_size, frames, size, size, 3)
+                .astype(np.float32) * 2 - 1)
         videos = jax.device_put(videos, pmesh.data_sharding(mesh, 5))
         rng, r = jax.random.split(rng)
         state, rec, gm = gen_jit(state, videos, r)
@@ -160,6 +201,13 @@ def main(argv=None):
                 f"kl {float(gm['kl']):.1f} disc {float(dm['disc']):.4f} "
                 f"steps/s {args.log_every / dt:.2f}")
             last_t = time.time()
+        if ckpt is not None and steps % args.ckpt_every == 0:
+            ckpt.save(steps, state._asdict())
+    if ckpt is not None:
+        if ckpt.latest_step() != steps:
+            ckpt.save(steps, state._asdict())
+        ckpt.wait()
+        logger.info(f"saved final VAE checkpoint at step {steps}")
     return state
 
 
