@@ -100,6 +100,8 @@ CONFIGS = {
     "O_b96_chunk4": ("GPT-L", 96, 576, 2.0, 1000, True, {"n_chunks": 4}),
     "O_b128_kv8": ("GPT-L", 128, 576, 2.0, 1000, True,
                    {"n_chunks": 4, "kv_int8": True}),
+    "P_b256_kv8": ("GPT-L", 256, 576, 2.0, 1000, True,
+                   {"n_chunks": 4, "kv_int8": True}),
 }
 
 
