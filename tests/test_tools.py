@@ -71,3 +71,34 @@ def test_pl_to_torch(tmp_path):
     out = torch.load(dst, weights_only=False)
     assert set(out) == {"state_dict"}
     assert "encoder.w" in out["state_dict"]
+
+
+def test_prep_image_json(tmp_path):
+    """Folder scan keeps openable images, drops corrupt ones, and the
+    --captions mode pairs same-stem .txt files (ref tools/openimage_json.py
+    flow)."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from video_llamagen_tpu.tools.prep_image_json import main
+
+    d = tmp_path / "data" / "cls0"
+    d.mkdir(parents=True)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "a.png")
+    Image.fromarray(np.ones((8, 8, 3), np.uint8)).save(d / "b.jpg")
+    (d / "broken.png").write_bytes(b"not an image")
+    (d / "b.txt").write_text("a tiny caption")
+
+    out = tmp_path / "paths.json"
+    rels = main([str(tmp_path / "data"), str(out)])
+    assert sorted(rels) == ["cls0/a.png", "cls0/b.jpg"]
+    assert sorted(json.load(open(out))) == ["cls0/a.png", "cls0/b.jpg"]
+
+    outl = tmp_path / "recs.jsonl"
+    main([str(tmp_path / "data"), str(outl), "--captions"])
+    recs = [json.loads(l) for l in open(outl)]
+    by_path = {r["path"]: r["cap"] for r in recs}
+    assert by_path["cls0/b.jpg"] == ["a tiny caption"]
+    assert by_path["cls0/a.png"] == []
