@@ -90,17 +90,26 @@ def bench_online(args):
     sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
 
     # Warm every compiled shape the Poisson run can hit BEFORE the clock
-    # starts: prefill pow2 buckets (admission sizes pad to {1,2,4,8,16}) and
-    # decode windows {1, 8, window} (ramp-down windows no longer exist —
-    # finishing requests overshoot and trim). A cold compile mid-run costs
-    # minutes over the tunnel and would poison the latency percentiles.
+    # starts: every power-of-two prefill bucket an admission can pad to
+    # (admissions of size m pad to pow2ceil(m), m <= max_batch) and decode
+    # windows {1, 8, window} (ramp-down windows no longer exist — finishing
+    # requests overshoot and trim). A cold compile mid-run costs minutes over
+    # the tunnel and would poison the latency percentiles.
     warm_sp = SamplingParams(max_tokens=3 * args.decode_window, cfg_scale=2.0,
                              top_k=1000)
-    warm_cond = 900   # distinct per request so every warm admission is a
-    for m in (min(args.batch + 1, 2 * args.batch), args.batch, 3, 2, 1):
-        for i in range(m):     # prefix-cache MISS with the right jobs count
-            eng.add_request(np.int32(warm_cond), warm_sp)
-            warm_cond += 1
+    warm_sizes = []
+    m = 1
+    while m < args.batch:
+        warm_sizes.append(m)
+        m *= 2
+    warm_sizes.append(args.batch)   # covers pow2ceil(batch) when not a pow2
+    n_warmed = 0
+    for m in warm_sizes:
+        for i in range(m):     # prefix-cache MISS with the right jobs count:
+            # distinct warm conds, kept clear of BOTH the measured run's conds
+            # (< num_requests) and the CFG null class (== num_classes)
+            eng.add_request(np.int32(100 + n_warmed % 899), warm_sp)
+            n_warmed += 1
         while eng.has_unfinished():
             eng.step()
     eng.stats.update(requests_done=0, tokens_generated=0, steps=0,

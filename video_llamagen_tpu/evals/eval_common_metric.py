@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 def load_video_set(path: str) -> np.ndarray:
     if path.endswith(".npz"):
-        return np.load(path)["arr_0"].astype(np.float32) / (
-            255.0 if np.load(path)["arr_0"].dtype == np.uint8 else 1.0)
+        arr = np.load(path)["arr_0"]
+        return arr.astype(np.float32) / (255.0 if arr.dtype == np.uint8 else 1.0)
     files = sorted(f for f in os.listdir(path) if f.endswith(".npy"))
     clips = [np.load(os.path.join(path, f)) for f in files]
     videos = np.stack(clips).astype(np.float32)

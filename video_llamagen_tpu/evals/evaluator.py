@@ -52,8 +52,16 @@ def main(argv=None):
         assert arr.dtype == np.uint8 and arr.ndim == 4, (arr.dtype, arr.shape)
         return arr
 
-    ckpt_id = (os.path.basename(args.inception_ckpt) if args.inception_ckpt
-               else "random0")
+    if args.inception_ckpt:
+        # content-addressed: replacing the checkpoint file in place under the
+        # same name must invalidate cached activations
+        ch = hashlib.sha1()
+        with open(args.inception_ckpt, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 22), b""):
+                ch.update(chunk)
+        ckpt_id = f"{os.path.basename(args.inception_ckpt)}-{ch.hexdigest()[:8]}"
+    else:
+        ckpt_id = "random0"
 
     def features(path, label):
         """Activations for one npz, cached next to it keyed by file content +
@@ -66,7 +74,8 @@ def main(argv=None):
             with open(path, "rb") as f:
                 for chunk in iter(lambda: f.read(1 << 22), b""):
                     h.update(chunk)
-            key = f"{h.hexdigest()[:12]}-{ckpt_id}-{args.limit or 'all'}"
+            key = (f"{h.hexdigest()[:12]}-{ckpt_id}-{args.limit or 'all'}"
+                   f"-b{args.batch}")
             cache = f"{path}.acts-{key}.npz"
             if os.path.exists(cache):
                 print(f"{label} activations from cache {cache}")

@@ -105,7 +105,7 @@ def ring_attention(q, k, v, axis_name: str = "cp", causal: bool = True):
     rotate around the ring via ppermute while an online-softmax accumulator
     merges partial results — communication overlaps compute and total bytes
     equal one all-gather. Call inside shard_map with the seq axis sharded on
-    `axis_name` (guide: boom_attention_tricks.md §16).
+    `axis_name`.
     """
     n = jax.lax.psum(1, axis_name=axis_name)
     my_idx = jax.lax.axis_index(axis_name)
