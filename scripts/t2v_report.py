@@ -47,12 +47,16 @@ def stage_sample(args):
         "--num-frames", "17", "--cls-token-num", "120",
         "--num-sampling-steps", args.num_sampling_steps,
         "--cfg-scale", "4.0", "--batch", "1", "--tiled", "--time",
+        "--tiling", args.tiling,
         "--out", f"{ROOT}/t2v_{args.sampler}",
     ])
     total = time.perf_counter() - t0
     frames = np.load(f"{ROOT}/t2v_{args.sampler}_frames.npy")
+    with open(f"{ROOT}/t2v_{args.sampler}_timings.json") as f:
+        timings = json.load(f)
     _record(f"sample_{args.sampler}", {
         "frames": list(frames.shape), "total_wall_s": round(total, 1),
+        **timings, "tiling": args.tiling,
         "finite": bool(np.isfinite(frames).all()),
     })
 
@@ -91,14 +95,27 @@ def stage_roundtrip(args):
         print(f"loaded VAE params from {args.vae_orbax}")
     else:
         params = cvae.init_causal_vae_params(jax.random.key(0), vcfg)
+
+    enc_fn = (cvae.tiled_encode_spatial_batched if args.tiling == "batched"
+              else cvae.tiled_encode_spatial)
+    dec_fn = (cvae.tiled_decode_spatial_batched if args.tiling == "batched"
+              else cvae.tiled_decode_spatial)
+    # first call includes XLA compile; second is steady-state (compile cache)
     t0 = time.perf_counter()
-    # tiled_encode_spatial returns the (mode) latent array directly
-    z = np.asarray(cvae.tiled_encode_spatial(params, vcfg, jnp.asarray(clip)))
+    z = np.asarray(enc_fn(params, vcfg, jnp.asarray(clip)))
     t_enc = time.perf_counter() - t0
     t0 = time.perf_counter()
-    dec = np.asarray(cvae.tiled_decode_spatial(params, vcfg, jnp.asarray(z)))
+    np.asarray(enc_fn(params, vcfg, jnp.asarray(clip)))
+    t_enc2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dec = np.asarray(dec_fn(params, vcfg, jnp.asarray(z)))
     t_dec = time.perf_counter() - t0
-    print(f"tiled encode {t_enc:.1f}s (latent {z.shape}), decode {t_dec:.1f}s")
+    t0 = time.perf_counter()
+    np.asarray(dec_fn(params, vcfg, jnp.asarray(z)))
+    t_dec2 = time.perf_counter() - t0
+    print(f"tiled[{args.tiling}] encode first {t_enc:.1f}s / steady "
+          f"{t_enc2:.1f}s (latent {z.shape}); decode first {t_dec:.1f}s / "
+          f"steady {t_dec2:.1f}s")
 
     real_dir, fake_dir = f"{ROOT}/rt_real", f"{ROOT}/rt_fake"
     os.makedirs(real_dir, exist_ok=True)
@@ -112,13 +129,16 @@ def stage_roundtrip(args):
     res = eval_common_metric.main([
         "--real-path", real_dir, "--fake-path", fake_dir,
         "--metric", "psnr", "ssim"])
-    rec = {"encode_s": round(t_enc, 1), "decode_s": round(t_dec, 1),
-           "latent_shape": list(z.shape)}
+    rec = {"encode_first_s": round(t_enc, 1),
+           "encode_steady_s": round(t_enc2, 1),
+           "decode_first_s": round(t_dec, 1),
+           "decode_steady_s": round(t_dec2, 1),
+           "tiling": args.tiling, "latent_shape": list(z.shape)}
     if isinstance(res, dict):
         rec.update({k: round(float(v), 4) for k, v in res.items()})
     key = "vae_roundtrip_trained" if args.vae_orbax \
         else "vae_roundtrip_random_init"
-    _record(key, rec)
+    _record(f"{key}_{args.tiling}" if args.tiling != "batched" else key, rec)
 
 
 def main():
@@ -133,6 +153,8 @@ def main():
     p.add_argument("--hidden-size", type=int, default=128)
     p.add_argument("--frames", type=int, default=17)
     p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--tiling", default="batched",
+                   choices=["batched", "reference"])
     args = p.parse_args()
     globals()[f"stage_{args.stage}"](args)
 

@@ -203,3 +203,88 @@ def test_train_vae_moving_shapes_ckpt_and_loader(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Batched tiling fast path (one compiled dispatch for all spatial tiles)
+# ---------------------------------------------------------------------------
+
+def test_merge_tiles_partition_of_unity():
+    """Constant tiles must merge to exactly that constant everywhere (the
+    overlap-add weights normalize out), including single-coverage borders."""
+    ys, xs = [0, 3], [0, 3]
+    dec = jnp.full((4 * 2, 2, 4, 4, 3), 7.5, jnp.float32)  # N=4 tiles, B=2
+    out = cv._merge_tiles(dec, ys, xs, b=2, ramp=1, out_h=7, out_w=7)
+    assert out.shape == (2, 2, 7, 7, 3)
+    np.testing.assert_allclose(np.asarray(out), 7.5, rtol=1e-6)
+
+
+def test_cover_positions():
+    assert cv._cover_positions(6, 4, 3) == [0, 2]
+    assert cv._cover_positions(4, 4, 3) == [0]
+    assert cv._cover_positions(3, 4, 3) == [0]
+    assert cv._cover_positions(10, 4, 3) == [0, 3, 6]
+    # full coverage, all windows in-bounds
+    for ext, tile, stride in ((6, 4, 3), (10, 4, 3), (32, 32, 24), (64, 32, 24)):
+        pos = cv._cover_positions(ext, tile, stride)
+        assert pos[-1] + tile >= ext and all(p + tile <= max(ext, tile) for p in pos)
+
+
+def test_batched_tiled_decode_single_tile_is_direct(params):
+    """When the latent fits one tile the fast path IS the direct decode."""
+    z = jax.random.normal(jax.random.key(3), (1, 3, 4, 4, 2))
+    cfg = TINY.replace(tile_sample_min_size=8)          # tile_l = 8/2 = 4
+    np.testing.assert_array_equal(
+        np.asarray(cv.tiled_decode_spatial_batched(params, cfg, z)),
+        np.asarray(cv.decode(params, cfg, z)))
+
+
+def test_batched_tiled_decode_matches_per_tile_merge(params):
+    """The single batched dispatch must equal decoding each full-size tile
+    separately and overlap-adding — validates tile stacking order and the
+    batch-invariance of decode."""
+    cfg = TINY.replace(tile_sample_min_size=8)          # tile_l=4, overlap_l=1
+    z = jax.random.normal(jax.random.key(4), (2, 3, 6, 6, 2))
+    got = cv.tiled_decode_spatial_batched(params, cfg, z)
+    sf = cfg.spatial_compress
+    ys = xs = cv._cover_positions(6, 4, 3)
+    tiles = [cv.decode(params, cfg, z[:, :, i:i + 4, j:j + 4])
+             for i in ys for j in xs]
+    dec = jnp.concatenate(tiles, axis=0)
+    want = cv._merge_tiles(dec, [i * sf for i in ys], [j * sf for j in xs],
+                           b=2, ramp=1 * sf, out_h=12, out_w=12)
+    assert got.shape == want.shape == (2, 5, 12, 12, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_batched_tiled_encode_shape_and_interior(params):
+    """Batched tiled encode covers the full latent; the first tile's interior
+    (away from seams) matches the untiled encode exactly."""
+    cfg = TINY.replace(tile_sample_min_size=8)
+    x = jax.random.normal(jax.random.key(5), (1, 5, 12, 12, 3))
+    z = cv.tiled_encode_spatial_batched(params, cfg, x)
+    z_full = cv.encode(params, cfg, x).mode()
+    assert z.shape == z_full.shape                       # exact-cover grid
+    np.testing.assert_allclose(np.asarray(z[:, :, :2, :2]),
+                               np.asarray(
+                                   cv.encode(params, cfg, x[:, :, :8, :8])
+                                   .mode()[:, :, :2, :2]),
+                               atol=1e-5, rtol=1e-4)
+    assert np.isfinite(np.asarray(z)).all()
+
+
+def test_batched_tiled_roundtrip_shapes(params):
+    """End-to-end batched tiled encode->decode reproduces the input geometry.
+    (Numeric closeness to the untiled roundtrip is NOT an invariant: the
+    mid-block attention is global per tile, so with random weights every
+    tiling — including the reference's serial one — diverges wholesale; the
+    batching math itself is pinned exactly by
+    test_batched_tiled_decode_matches_per_tile_merge.)"""
+    cfg = TINY.replace(tile_sample_min_size=8)
+    x = jax.random.normal(jax.random.key(6), (1, 3, 12, 12, 3)) * 0.3
+    z = cv.tiled_encode_spatial_batched(params, cfg, x)
+    rec = np.asarray(cv.tiled_decode_spatial_batched(params, cfg, z))
+    assert rec.shape == x.shape
+    assert np.isfinite(rec).all()

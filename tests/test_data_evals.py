@@ -362,3 +362,69 @@ def test_inception_forward_wiring():
     assert probs.shape == (1, 1008)
     np.testing.assert_allclose(float(probs.sum()), 1.0, rtol=1e-4)
     assert np.isfinite(np.asarray(pool3)).all()
+
+
+# ---------------------------------------------------------------------------
+# Transform zoo completion (ref dataset/transform.py:38-148, 199-538)
+# ---------------------------------------------------------------------------
+
+def _clip(h=20, w=30, t=3):
+    return np.arange(t * h * w * 3, dtype=np.float32).reshape(t, h, w, 3)
+
+
+def test_crop_and_center_crop_video():
+    v = _clip()
+    c = T.crop_video(v, 2, 3, 10, 12)
+    assert c.shape == (3, 10, 12, 3)
+    np.testing.assert_array_equal(c, v[:, 2:12, 3:15])
+    cc = T.center_crop_video(v, 10, 12)
+    np.testing.assert_array_equal(cc, v[:, 5:15, 9:21])
+    with np.testing.assert_raises(ValueError):
+        T.center_crop_video(v, 21, 5)
+
+
+def test_center_crop_short_edge_and_th_tw():
+    v = _clip(20, 30)
+    sq = T.center_crop_short_edge(v)
+    assert sq.shape == (3, 20, 20, 3)
+    # aspect crop: th/tw = 1/2 on a 20x30 input -> 15x30 crop
+    c = T.center_crop_th_tw(v, 10, 20)
+    assert c.shape == (3, 15, 30, 3)
+    top = T.center_crop_th_tw(v, 10, 20, top_crop=True)
+    np.testing.assert_array_equal(top, v[:, :15])
+
+
+def test_random_crops_deterministic():
+    rng = np.random.RandomState(0)
+    v = _clip()
+    rc = T.random_crop_video(rng, v, 10, 10)
+    assert rc.shape == (3, 10, 10, 3)
+    rs = T.random_shift_crop(np.random.RandomState(1), v)
+    assert rs.shape == (3, 20, 20, 3)
+    # exact-size random crop is the identity
+    np.testing.assert_array_equal(
+        T.random_crop_video(rng, v, 20, 30), v)
+
+
+def test_resize_scale_and_ucf_kinetics():
+    v = _clip(20, 30)
+    r = T.resize_scale_video(v, 40)            # short side 20 -> 40
+    assert r.shape == (3, 40, 60, 3)
+    u = T.ucf_center_crop_video(v, 16)
+    assert u.shape == (3, 16, 16, 3)
+    k = T.kinetics_random_crop_resize_video(np.random.RandomState(2), v, 16)
+    assert k.shape == (3, 16, 16, 3)
+    rc = T.resized_crop_video(v, 0, 0, 10, 10, (8, 8))
+    assert rc.shape == (3, 8, 8, 3)
+    ctw = T.center_crop_resize_th_tw(v, 16, 16)
+    assert ctw.shape == (3, 16, 16, 3)
+
+
+def test_dynamic_sample_duration():
+    d = T.DynamicSampleDuration(t_stride=2, extra_1=True)
+    for seed in range(5):
+        s, e = d(17, 32, 32, np.random.RandomState(seed))
+        assert s == 0 and e >= 17 // 2 and e <= 17 and (e - 1) % 2 == 0
+    d2 = T.DynamicSampleDuration(t_stride=1, extra_1=False)
+    s, e = d2(16, 8, 8, np.random.RandomState(0))
+    assert 8 <= e <= 16

@@ -116,3 +116,42 @@ def test_clip_flax_matches_torch(clip_dir):
     ref = clip_score_from_features(tout.image_embeds.numpy(),
                                    tout.text_embeds.numpy())
     assert abs(ours - ref) < 1e-2
+
+
+def test_dump_features_sharded(tmp_path):
+    """Sharded offline extraction: each shard writes its contiguous chunk,
+    shards cover the set disjointly, already-written files are skipped
+    (ref language/extract_t5_feature.py rank split)."""
+    from video_llamagen_tpu.text.t5 import dump_features
+
+    class FakeEmbedder:
+        calls = 0
+
+        def get_text_embeddings(self, texts):
+            FakeEmbedder.calls += 1
+            n = len(texts)
+            embs = np.arange(n * 4 * 2, dtype=np.float32).reshape(n, 4, 2)
+            masks = np.tile(np.array([1, 1, 1, 0]), (n, 1))
+            return embs, masks
+
+    caps = [f"cap {i}" for i in range(7)]
+    paths = [str(tmp_path / f"{i}.npy") for i in range(7)]
+    dump_features(FakeEmbedder(), caps, paths, shard_id=0, num_shards=3)
+    dump_features(FakeEmbedder(), caps, paths, shard_id=2, num_shards=3)
+    assert sorted(p.name for p in tmp_path.iterdir()) == \
+        ["0.npy", "1.npy", "2.npy", "6.npy"]
+    dump_features(FakeEmbedder(), caps, paths, shard_id=1, num_shards=3)
+    assert len(list(tmp_path.iterdir())) == 7
+    a = np.load(paths[0])
+    assert a.shape == (1, 3, 2)          # trimmed to mask length
+
+    # resume: nothing left to do -> no embedder calls
+    before = FakeEmbedder.calls
+    dump_features(FakeEmbedder(), caps, paths, shard_id=1, num_shards=3)
+    assert FakeEmbedder.calls == before
+
+    # batched chunking covers everything too
+    for p in tmp_path.iterdir():
+        p.unlink()
+    dump_features(FakeEmbedder(), caps, paths, batch_size=2)
+    assert len(list(tmp_path.iterdir())) == 7

@@ -1,10 +1,14 @@
-"""Video/image transforms — numpy implementations of the reference zoo.
+"""Video/image transforms — numpy implementations of the full reference zoo.
 
-Capability parity with reference dataset/transform.py (ToTensorVideo,
-CenterCropResizeVideo, TemporalRandomCrop, SpatialStrideCropVideo,
-RandomHorizontalFlipVideo, LongSideResizeVideo) and utils/data.py's ADM
-center-crop (FID-critical preprocessing). All functions take/return numpy
-arrays; videos are (T, H, W, C) uint8 or float32 in [0, 1]/[-1, 1].
+Capability parity with reference dataset/transform.py: ToTensorVideo,
+Normalize, CenterCropResizeVideo (both the short-edge and the current
+center_crop_th_tw semantics), TemporalRandomCrop, SpatialStrideCropVideo,
+RandomHorizontalFlipVideo, LongSideResizeVideo, RandomCropVideo,
+UCFCenterCropVideo, KineticsRandomCropResizeVideo, CenterCropVideo,
+resize_scale / resized_crop / crop / center_crop / random_shift_crop
+helpers, DynamicSampleDuration — plus utils/data.py's ADM center-crop
+(FID-critical preprocessing). All functions take/return numpy arrays;
+videos are (T, H, W, C) uint8 or float32 in [0, 1]/[-1, 1].
 """
 
 from __future__ import annotations
@@ -98,6 +102,132 @@ class TemporalRandomCrop:
 def temporal_sample_indices(start: int, end: int, num_frames: int) -> np.ndarray:
     """linspace frame indices (ref dataset/t2v.py:170-177)."""
     return np.linspace(start, end - 1, num_frames).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference zoo (ref dataset/transform.py:38-148, 199-538) — numpy,
+# videos (T, H, W, C). Random variants take an explicit RandomState (the
+# reference uses global torch/random state; explicit rngs keep loader workers
+# deterministic per shard).
+# ---------------------------------------------------------------------------
+
+def crop_video(video: np.ndarray, i: int, j: int, h: int, w: int) -> np.ndarray:
+    """Spatial crop at (i, j) of extent (h, w) (ref transform.py:38-45)."""
+    if video.ndim != 4:
+        raise ValueError("clip should be 4D (T, H, W, C)")
+    return video[:, i:i + h, j:j + w]
+
+
+def resize_scale_video(video: np.ndarray, size: int) -> np.ndarray:
+    """Scale so the SHORT side == size, keep aspect (ref resize_scale,
+    transform.py:54-59: scale_factor = target/min(H, W))."""
+    t, h, w, c = video.shape
+    s = size / min(h, w)
+    return _resize_bilinear(video, int(h * s), int(w * s))
+
+
+def resized_crop_video(video: np.ndarray, i: int, j: int, h: int, w: int,
+                       size: Tuple[int, int]) -> np.ndarray:
+    """Crop then resize (ref resized_crop, transform.py:62-79)."""
+    return _resize_bilinear(crop_video(video, i, j, h, w), size[0], size[1])
+
+
+def center_crop_video(video: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Centered (th, tw) crop; raises if smaller (ref center_crop,
+    transform.py:82-92 / CenterCropVideo:399-423)."""
+    t, h, w, c = video.shape
+    if h < th or w < tw:
+        raise ValueError("height and width must be no smaller than crop_size")
+    i, j = int(round((h - th) / 2.0)), int(round((w - tw) / 2.0))
+    return crop_video(video, i, j, th, tw)
+
+
+def center_crop_short_edge(video: np.ndarray) -> np.ndarray:
+    """Centered square crop of the short edge (ref
+    center_crop_using_short_edge, transform.py:95-107)."""
+    t, h, w, c = video.shape
+    s = min(h, w)
+    return center_crop_video(video, s, s)
+
+
+def center_crop_th_tw(video: np.ndarray, th: int, tw: int,
+                      top_crop: bool = False) -> np.ndarray:
+    """Largest centered crop with aspect th/tw; `top_crop` anchors the crop at
+    the top row (portrait-to-landscape case) (ref transform.py:111-127)."""
+    t, h, w, c = video.shape
+    tr = th / tw
+    if h / w > tr:
+        new_h, new_w = int(w * tr), w
+    else:
+        new_h, new_w = h, int(h / tr)
+    i = 0 if top_crop else int(round((h - new_h) / 2.0))
+    j = int(round((w - new_w) / 2.0))
+    return crop_video(video, i, j, new_h, new_w)
+
+
+def random_shift_crop(rng: np.random.RandomState, video: np.ndarray) -> np.ndarray:
+    """Square crop of the short edge at a random offset along the long edge
+    (ref transform.py:129-148)."""
+    t, h, w, c = video.shape
+    s = min(h, w)
+    i = int(rng.randint(0, h - s + 1))
+    j = int(rng.randint(0, w - s + 1))
+    return crop_video(video, i, j, s, s)
+
+
+def random_crop_video(rng: np.random.RandomState, video: np.ndarray,
+                      th: int, tw: int) -> np.ndarray:
+    """Random (th, tw) crop (ref RandomCropVideo, transform.py:199-230)."""
+    t, h, w, c = video.shape
+    if h < th or w < tw:
+        raise ValueError(f"Required crop size {(th, tw)} is larger than "
+                         f"input image size {(h, w)}")
+    if (h, w) == (th, tw):
+        return video
+    i = int(rng.randint(0, h - th + 1))
+    j = int(rng.randint(0, w - tw + 1))
+    return crop_video(video, i, j, th, tw)
+
+
+def center_crop_resize_th_tw(video: np.ndarray, th: int, tw: int,
+                             top_crop: bool = False) -> np.ndarray:
+    """The reference's current CenterCropResizeVideo semantics: aspect-ratio
+    center (or top) crop via center_crop_th_tw, then resize to (th, tw)
+    (ref transform.py:301-332)."""
+    return _resize_bilinear(center_crop_th_tw(video, th, tw, top_crop), th, tw)
+
+
+def ucf_center_crop_video(video: np.ndarray, size: int) -> np.ndarray:
+    """Short-side proportional resize then center crop
+    (ref UCFCenterCropVideo, transform.py:338-368)."""
+    return center_crop_video(resize_scale_video(video, size), size, size)
+
+
+def kinetics_random_crop_resize_video(rng: np.random.RandomState,
+                                      video: np.ndarray, size: int) -> np.ndarray:
+    """Random short-edge square crop sliding along the long edge, then resize
+    (ref KineticsRandomCropResizeVideo, transform.py:374-396)."""
+    return _resize_bilinear(random_shift_crop(rng, video), size, size)
+
+
+class DynamicSampleDuration:
+    """Random truncated duration >= t/2 on a t_stride grid
+    (ref transform.py:520-538)."""
+
+    def __init__(self, t_stride: int, extra_1: bool):
+        self.t_stride = t_stride
+        self.extra_1 = extra_1
+
+    def __call__(self, t: int, h: int, w: int,
+                 rng: Optional[np.random.RandomState] = None) -> Tuple[int, int]:
+        rng = rng or np.random
+        if self.extra_1:
+            t = t - 1
+        choices = list(range(t + 1))[t // 2:][:: self.t_stride]
+        truncate_t = int(choices[rng.randint(0, len(choices))])
+        if self.extra_1:
+            truncate_t += 1
+        return 0, truncate_t
 
 
 # ---------------------------------------------------------------------------

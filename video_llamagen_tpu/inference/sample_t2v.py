@@ -48,10 +48,18 @@ def main(argv=None):
     p.add_argument("--tiled", action="store_true",
                    help="decode through the tiled CausalVAE path (temporal "
                         "17-frame windows + spatial tiles with blended seams)")
+    p.add_argument("--tiling", default="batched",
+                   choices=["batched", "reference"],
+                   help="batched: all spatial tiles in ONE compiled dispatch "
+                        "(TPU fast path); reference: the serial per-tile grid "
+                        "with the reference's exact trim arithmetic")
     p.add_argument("--time", dest="do_time", action="store_true",
-                   help="print wall-times of the AR loop and the VAE decode")
+                   help="run the AR loop and VAE decode TWICE and print both "
+                        "wall-times: first call includes XLA compile, second "
+                        "is steady-state")
     args = p.parse_args(argv)
     import time as _time
+    timings = {}
 
     latent = args.image_size // args.downsample_size
     head = {"ar": "diff", "ar_mse": "mse", "maskgit": "mask_diff"}[args.sampler]
@@ -84,23 +92,30 @@ def main(argv=None):
         print("WARNING: random video GPT weights (smoke mode)")
 
     rng = jax.random.key(args.seed)
-    t0 = _time.perf_counter()
-    if args.sampler == "ar":
-        latents = gen.generate_ar(params, cfg, cond, rng,
+
+    def run_sampler():
+        if args.sampler == "ar":
+            out = gen.generate_ar(params, cfg, cond, rng,
                                   cfg_scale=args.cfg_scale,
                                   temperature=args.temperature)
-    elif args.sampler == "ar_mse":
-        latents = gen.generate_ar_mse(params, cfg, cond)
-    else:
-        latents = gen.generate_maskgit(params, cfg, cond, rng,
+        elif args.sampler == "ar_mse":
+            out = gen.generate_ar_mse(params, cfg, cond)
+        else:
+            out = gen.generate_maskgit(params, cfg, cond, rng,
                                        num_iter=args.num_iter,
                                        cfg_scale=args.cfg_scale,
                                        temperature=args.temperature)
-    latents = np.asarray(latents)
+        return np.asarray(out)          # host transfer = real sync (tunnel)
+
+    t0 = _time.perf_counter()
+    latents = run_sampler()
+    timings["ar_first_s"] = _time.perf_counter() - t0
     if args.do_time:
-        print(f"AR loop ({args.sampler}) wall-time: "
-              f"{_time.perf_counter() - t0:.2f}s "
-              f"(incl. compile on first run)")
+        t0 = _time.perf_counter()
+        run_sampler()                   # compile cache hit -> steady state
+        timings["ar_steady_s"] = _time.perf_counter() - t0
+        print(f"AR loop ({args.sampler}): first {timings['ar_first_s']:.2f}s "
+              f"(incl. compile), steady {timings['ar_steady_s']:.2f}s")
     np.save(f"{args.out}_latents.npy", latents)
     print(f"latents {latents.shape} -> {args.out}_latents.npy")
 
@@ -120,15 +135,27 @@ def main(argv=None):
     b = latents.shape[0]
     vae_t = cfg.vae_t
     z = latents.reshape(b, vae_t, latent, latent, args.vae_embed_dim)
+
+    def run_decode():
+        if not args.tiled:
+            return np.asarray(cvae.decode_jit(vae_params, vcfg, jnp.asarray(z)))
+        fn = (cvae.tiled_decode_spatial_batched if args.tiling == "batched"
+              else cvae.tiled_decode_spatial)
+        return np.asarray(fn(vae_params, vcfg, jnp.asarray(z)))
+
+    mode = (f"tiled/{args.tiling}" if args.tiled else "direct")
     t0 = _time.perf_counter()
-    if args.tiled:
-        frames = np.asarray(cvae.tiled_decode_spatial(vae_params, vcfg,
-                                                      jnp.asarray(z)))
-    else:
-        frames = np.asarray(cvae.decode(vae_params, vcfg, jnp.asarray(z)))
+    frames = run_decode()
+    timings["vae_first_s"] = _time.perf_counter() - t0
     if args.do_time:
-        print(f"CausalVAE decode wall-time: {_time.perf_counter() - t0:.2f}s "
-              f"({'tiled' if args.tiled else 'direct'})")
+        t0 = _time.perf_counter()
+        run_decode()
+        timings["vae_steady_s"] = _time.perf_counter() - t0
+        print(f"CausalVAE decode ({mode}): first {timings['vae_first_s']:.2f}s "
+              f"(incl. compile), steady {timings['vae_steady_s']:.2f}s")
+        import json as _json
+        with open(f"{args.out}_timings.json", "w") as f:
+            _json.dump({k: round(v, 2) for k, v in timings.items()}, f)
     frames01 = np.clip((frames + 1) / 2, 0, 1)
     np.save(f"{args.out}_frames.npy", frames01)
     print(f"frames {frames01.shape} -> {args.out}_frames.npy")

@@ -275,10 +275,14 @@ def forward_train_mask_mse(params: Params, cfg: GPTConfig,
 
 def forward_train(params: Params, cfg: GPTConfig, video_latent: jnp.ndarray,
                   cond_embed: jnp.ndarray, rng: jax.Array,
-                  mask: Optional[jnp.ndarray] = None):
-    """Dispatch on cfg.video_head — the single training entry point."""
+                  mask: Optional[jnp.ndarray] = None,
+                  shuffle_tokens: bool = False):
+    """Dispatch on cfg.video_head — the single training entry point.
+    `shuffle_tokens` (mse head only) enables the reference's batch-shared
+    random token-order training (gpt_video.py:374-401)."""
     if cfg.video_head == "mse":
-        return forward_train_mse(params, cfg, video_latent, cond_embed, rng, mask)
+        return forward_train_mse(params, cfg, video_latent, cond_embed, rng,
+                                 mask, shuffle_tokens=shuffle_tokens)
     if cfg.video_head == "diff":
         return forward_train_diff(params, cfg, video_latent, cond_embed, rng, mask)
     if cfg.video_head == "mask_diff":

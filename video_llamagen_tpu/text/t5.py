@@ -11,6 +11,7 @@ environment has no network egress).
 from __future__ import annotations
 
 import html
+import os
 import re
 import urllib.parse as ul
 from typing import List, Optional, Tuple
@@ -141,10 +142,26 @@ class T5Embedder:
         return self.embed_token_ids(input_ids, attn), attn
 
 
-def dump_features(embedder: T5Embedder, captions: List[str], out_paths: List[str]):
+def dump_features(embedder: T5Embedder, captions: List[str], out_paths: List[str],
+                  shard_id: int = 0, num_shards: int = 1,
+                  batch_size: int = 0):
     """Offline feature extraction writing one (1, L, D) npy per caption,
-    trimmed to the real token count (ref language/extract_t5_feature.py)."""
-    embs, masks = embedder.get_text_embeddings(captions)
-    for emb, mask, path in zip(embs, masks, out_paths):
-        n = int(mask.sum())
-        np.save(path, emb[None, :n].astype(np.float32))
+    trimmed to the real token count (ref language/extract_t5_feature.py).
+
+    Sharded like the reference's rank split (extract_t5_feature.py:1-50:
+    each rank takes a contiguous chunk of the caption list): shard `shard_id`
+    of `num_shards` processes captions[lo:hi] and skips already-written
+    outputs, so N independent processes (or a resumed one) cover the set.
+    `batch_size` > 0 embeds in chunks instead of one giant batch."""
+    n = len(captions)
+    per = (n + num_shards - 1) // num_shards
+    lo, hi = shard_id * per, min(n, (shard_id + 1) * per)
+    captions, out_paths = captions[lo:hi], out_paths[lo:hi]
+    todo = [(c, p) for c, p in zip(captions, out_paths)
+            if not os.path.exists(p)]
+    step = batch_size if batch_size > 0 else max(1, len(todo))
+    for i in range(0, len(todo), step):
+        chunk = todo[i:i + step]
+        embs, masks = embedder.get_text_embeddings([c for c, _ in chunk])
+        for emb, mask, (_, path) in zip(embs, masks, chunk):
+            np.save(path, emb[None, : int(mask.sum())].astype(np.float32))

@@ -20,6 +20,7 @@ static shapes per tile so each tile size compiles once.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -367,6 +368,20 @@ def decode(params: Params, cfg: CausalVAEConfig, z: jnp.ndarray) -> jnp.ndarray:
     return decoder_forward(params["decoder"], cfg, h)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_jit(params: Params, cfg: CausalVAEConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """Compiled direct decode (the eager `decode` dispatches per-primitive —
+    hundreds of round-trips over a network-attached chip)."""
+    return decode(params, cfg, z)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_mode_jit(params: Params, cfg: CausalVAEConfig,
+                    x: jnp.ndarray) -> jnp.ndarray:
+    """Compiled encode returning the posterior mode."""
+    return encode(params, cfg, x).mode()
+
+
 def forward(params: Params, cfg: CausalVAEConfig, x: jnp.ndarray,
             rng: jax.Array, sample_posterior: bool = True):
     posterior = encode(params, cfg, x)
@@ -504,3 +519,111 @@ def tiled_decode_spatial(params: Params, cfg: CausalVAEConfig,
         result_rows.append(jnp.concatenate(
             [t[:, :, :row_limit, :row_limit] for t in result_row], axis=3))
     return jnp.concatenate(result_rows, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Batched tiling (TPU fast path): every tile is full-size, all tiles ride the
+# batch dimension through ONE compiled encode/decode call, seams merge by
+# weighted overlap-add. The serial functions above keep the reference's exact
+# grid/trim arithmetic (ref modeling_causalvae.py:520-570); this path replaces
+# their one-dispatch-per-tile Python loop (4+ distinct tile shapes -> 4+ XLA
+# compiles and serial execution) with a single static-shape dispatch — the
+# difference between ~350 s and seconds for a 17f@256 clip over the tunnel.
+# ---------------------------------------------------------------------------
+
+def _cover_positions(extent: int, tile: int, stride: int):
+    """Window starts covering [0, extent): multiples of `stride`, with the
+    final window shifted back to end exactly at `extent` (all windows full
+    size, consecutive overlap >= tile - stride)."""
+    if extent <= tile:
+        return [0]
+    pos = list(range(0, extent - tile, stride))
+    pos.append(extent - tile)
+    return pos
+
+
+def _ova_weight(tile: int, ramp: int) -> np.ndarray:
+    """1D overlap-add weight: linear ramps of width `ramp` at both ends,
+    strictly positive so single-coverage regions normalize to the tile value
+    exactly (w cancels in out/wsum)."""
+    w = np.ones(tile, np.float32)
+    r = (np.arange(1, ramp + 1, dtype=np.float32)) / (ramp + 1)
+    w[:ramp] = r
+    w[tile - ramp:] = r[::-1]
+    return w
+
+
+def _stack_tiles(x: jnp.ndarray, ys, xs, tile: int) -> jnp.ndarray:
+    """(B,T,H,W,C) -> (N*B, T, tile, tile, C), N = len(ys)*len(xs)."""
+    tiles = [x[:, :, i:i + tile, j:j + tile] for i in ys for j in xs]
+    return jnp.concatenate(tiles, axis=0)
+
+
+def _merge_tiles(dec: jnp.ndarray, ys, xs, b: int, ramp: int,
+                 out_h: int, out_w: int) -> jnp.ndarray:
+    """Weighted overlap-add of (N*B, T, th, tw, C) back to
+    (B, T, out_h, out_w, C)."""
+    th, tw = dec.shape[2], dec.shape[3]
+    wh, ww = _ova_weight(th, min(ramp, th // 2)), \
+        _ova_weight(tw, min(ramp, tw // 2))
+    w2 = jnp.asarray(wh[:, None] * ww[None, :])[None, None, :, :, None]
+    out = jnp.zeros((b, dec.shape[1], out_h, out_w, dec.shape[-1]),
+                    jnp.float32)
+    wsum = jnp.zeros((1, 1, out_h, out_w, 1), jnp.float32)
+    n = 0
+    for i in ys:
+        for j in xs:
+            t = dec[n * b:(n + 1) * b].astype(jnp.float32) * w2
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(
+                    out, (0, 0, i, j, 0), t.shape) + t, (0, 0, i, j, 0))
+            wsum = jax.lax.dynamic_update_slice(
+                wsum, jax.lax.dynamic_slice(
+                    wsum, (0, 0, i, j, 0), (1, 1, th, tw, 1)) + w2,
+                (0, 0, i, j, 0))
+            n += 1
+    return (out / wsum).astype(dec.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def tiled_decode_spatial_batched(params: Params, cfg: CausalVAEConfig,
+                                 z: jnp.ndarray) -> jnp.ndarray:
+    """Spatially tiled decode, all tiles in one compiled batch.
+
+    Jitted end to end: the serial reference path dispatches every primitive
+    eagerly (hundreds of tunnel round-trips per tile); here tile extraction,
+    the decoder, and the overlap-add merge are ONE compiled program."""
+    sf = cfg.spatial_compress
+    tile_l = cfg.tile_sample_min_size // sf
+    overlap_l = max(1, int(tile_l * cfg.tile_overlap_factor))
+    h, w = z.shape[2], z.shape[3]
+    if h <= tile_l and w <= tile_l:
+        return decode(params, cfg, z)             # fits in one tile
+    ys = _cover_positions(h, tile_l, tile_l - overlap_l)
+    xs = _cover_positions(w, tile_l, tile_l - overlap_l)
+    dec = decode(params, cfg, _stack_tiles(z, ys, xs, tile_l))
+    ys_p, xs_p = [i * sf for i in ys], [j * sf for j in xs]
+    return _merge_tiles(dec, ys_p, xs_p, z.shape[0],
+                        overlap_l * sf, h * sf, w * sf)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def tiled_encode_spatial_batched(params: Params, cfg: CausalVAEConfig,
+                                 x: jnp.ndarray,
+                                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Spatially tiled encode, all tiles in one compiled batch; latent-space
+    overlap-add on the posterior mode (or a per-tile sample with `rng`)."""
+    sf = cfg.spatial_compress
+    tile = cfg.tile_sample_min_size
+    overlap = max(sf, int(tile * cfg.tile_overlap_factor))
+    h, w = x.shape[2], x.shape[3]
+    if h <= tile and w <= tile:
+        post = encode(params, cfg, x)
+        return post.mode() if rng is None else post.sample(rng)
+    ys = _cover_positions(h, tile, tile - overlap)
+    xs = _cover_positions(w, tile, tile - overlap)
+    post = encode(params, cfg, _stack_tiles(x, ys, xs, tile))
+    z = post.mode() if rng is None else post.sample(rng)
+    ys_l, xs_l = [i // sf for i in ys], [j // sf for j in xs]
+    return _merge_tiles(z, ys_l, xs_l, x.shape[0],
+                        max(1, overlap // sf), h // sf, w // sf)

@@ -73,6 +73,9 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--shuffle-tokens", action="store_true",
+                   help="mse head: batch-shared random token-order training "
+                        "(ref gpt_video.py:374-401)")
     p.add_argument("--profile", default=None,
                    help="dir for a jax.profiler trace of steps 3-6 "
                    "(ref train_t2v_profiler.py)")
@@ -106,7 +109,8 @@ def main(argv=None):
     shardings = video_state_shardings(state, mesh)
     state = jax.tree_util.tree_map(lambda x, s: jax.device_put(x, s),
                                    state, shardings)
-    step_fn = make_video_train_step(cfg, tcfg, mesh, shardings)
+    step_fn = make_video_train_step(cfg, tcfg, mesh, shardings,
+                                    shuffle_tokens=args.shuffle_tokens)
 
     ckpt = CheckpointManager(f"{args.results_dir}/checkpoints",
                              args.cloud_save_path)

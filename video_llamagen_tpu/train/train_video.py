@@ -48,16 +48,19 @@ def encode_videos(vae_params: Dict[str, Any], vae_cfg: CausalVAEConfig,
 def make_video_train_step(cfg: GPTConfig, tcfg: TrainConfig, mesh: Mesh,
                           state_shardings: TrainState,
                           vae_cfg: Optional[CausalVAEConfig] = None,
-                          online_encode: bool = False):
+                          online_encode: bool = False,
+                          shuffle_tokens: bool = False):
     """Compiled t2v step. Batch:
       online_encode: {"video": (B,T,H,W,3), "cond": (B,120,caption_dim)}
       else:          {"latents": (B,L,C),   "cond": (B,120,caption_dim)}
     vae params (frozen) are passed per-call when online_encode.
+    `shuffle_tokens`: mse-head any-order training (ref gpt_video.py:374-401).
     """
     optimizer = make_optimizer(tcfg)
 
     def loss_fn(params, latents, cond, rng):
-        _, loss = gpt_video.forward_train(params, cfg, latents, cond, rng)
+        _, loss = gpt_video.forward_train(params, cfg, latents, cond, rng,
+                                          shuffle_tokens=shuffle_tokens)
         return loss
 
     def step_fn(state: TrainState, batch, rng: jax.Array,
