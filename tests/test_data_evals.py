@@ -112,6 +112,48 @@ def test_batch_iterator_sharding_disjoint():
     assert not (flat_a & flat_b)
 
 
+def test_prefetch_iterator_matches_and_propagates_errors():
+    from video_llamagen_tpu.data.datasets import PrefetchIterator
+
+    class Rng:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return {"x": np.asarray(i)}
+
+    base = lambda: BatchIterator(Rng(), 3, shuffle=False)
+    plain = [b["x"].tolist() for b in base()]
+    pre = [b["x"].tolist() for b in PrefetchIterator(base(), depth=2)]
+    assert plain == pre
+    assert len(PrefetchIterator(base())) == len(base())
+
+    class Boom:
+        def __iter__(self):
+            yield {"x": np.zeros(1)}
+            raise RuntimeError("producer died")
+
+    it = iter(PrefetchIterator(Boom()))
+    next(it)
+    try:
+        next(it)
+        assert False, "expected producer error to re-raise"
+    except RuntimeError as e:
+        assert "producer died" in str(e)
+
+
+def test_read_video_frames_gif_fallback(tmp_path):
+    from PIL import Image
+    from video_llamagen_tpu.data.datasets import read_video_frames
+    frames = [(np.full((8, 8, 3), 30 * t, np.uint8)) for t in range(4)]
+    ims = [Image.fromarray(f) for f in frames]
+    path = str(tmp_path / "clip.gif")
+    ims[0].save(path, save_all=True, append_images=ims[1:], duration=100)
+    out = read_video_frames(path, np.asarray([0, 2]))
+    assert out.shape == (2, 8, 8, 3)
+    assert out.dtype == np.uint8
+
+
 # ------------------------------------------------------------------- metrics
 
 def test_psnr_identical_and_noisy():

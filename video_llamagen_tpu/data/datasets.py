@@ -60,12 +60,17 @@ def read_video_frames(path: str, indices: np.ndarray) -> np.ndarray:
         return vr.get_batch(indices).asnumpy()
     except ImportError:
         pass
+    import imageio.v3 as iio
     try:
-        import imageio.v3 as iio
         frames = iio.imread(path, plugin="pyav")
-        return frames[indices]
-    except ImportError as e:
-        raise RuntimeError("no video decoder available (decord/imageio)") from e
+    except Exception:
+        # no pyav/ffmpeg backend in this image: generic reader (gif/apng/...)
+        frames = iio.imread(path)
+    if frames.ndim == 3:  # single-frame container
+        frames = frames[None]
+    if frames.shape[-1] == 4:  # gif RGBA
+        frames = frames[..., :3]
+    return frames[indices]
 
 
 class T2VDataset:
@@ -269,6 +274,55 @@ class BatchIterator:
     def __len__(self):
         return max(0, len(range(self.shard_id, len(self.ds), self.num_shards))
                    // self.bs)
+
+
+class PrefetchIterator:
+    """Host-thread prefetch wrapper around any batch iterable.
+
+    The TPU analog of the reference's DataLoader worker pool
+    (ref dataset/utils/dataset_utils.py:13-60): a daemon thread drains the
+    wrapped iterator into a bounded queue so host-side decode/collate overlaps
+    with the device step (which releases the GIL while the chip runs).
+    `depth` bounds host memory to depth batches. Exceptions in the producer
+    re-raise in the consumer; iteration can be abandoned mid-epoch (the
+    producer thread parks on the bounded queue and dies with the process —
+    daemon=True).
+    """
+
+    def __init__(self, iterable, depth: int = 2):
+        self.iterable = iterable
+        self.depth = depth
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.iterable, "set_epoch"):
+            self.iterable.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.iterable)
+
+    def __iter__(self):
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        END = object()
+
+        def produce():
+            try:
+                for item in self.iterable:
+                    q.put(item)
+                q.put(END)
+            except BaseException as e:  # surface producer errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 def build_dataset(name: str, **kwargs):
