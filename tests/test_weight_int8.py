@@ -108,21 +108,26 @@ def test_quantized_params_shard_and_run():
                                rtol=1e-4)
 
 
-def test_engine_accepts_prequantized_params():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_engine_accepts_prequantized_params(dtype):
     """A tree that is ALREADY QuantizedLinear passes through ServeEngine's
     weight_int8 path untouched (no double quantization) and generates
     identically to engine-side quantization — HBM-tight models (GPT-3B) are
-    fabricated/loaded int8 up front so bf16+int8 never coexist on device."""
+    fabricated/loaded int8 up front so bf16+int8 never coexist on device.
+    bfloat16 covers the cast_params path: QuantizedLinear scales must stay
+    f32 through the engine's initial cast (advisor r2 finding)."""
     from video_llamagen_tpu.serve.engine import SamplingParams, ServeEngine
 
     params = gpt.init_gpt_params(jax.random.key(7), CFG)
     sp = SamplingParams(max_tokens=6, cfg_scale=1.5, top_k=0,
                         temperature=1.0)
 
-    eng_inside = ServeEngine(params, CFG, max_batch=2, dtype=jnp.float32,
+    eng_inside = ServeEngine(params, CFG, max_batch=2, dtype=dtype,
                              weight_int8=True)
     eng_pre = ServeEngine(quantize_gpt_params(params), CFG, max_batch=2,
-                          dtype=jnp.float32, weight_int8=True)
+                          dtype=dtype, weight_int8=True)
+    pre_scale = eng_pre.model_params["layers"]["attention"]["wqkv"].scale
+    assert pre_scale.dtype == jnp.float32
     leaf = eng_pre.model_params["layers"]["attention"]["wqkv"]
     assert isinstance(leaf, QuantizedLinear) and leaf.q.dtype == jnp.int8
 
