@@ -150,8 +150,13 @@ def bench_online(args):
         "prefix_hits": eng.stats.get("prefix_hits", 0),
     }
     print(json.dumps(rec), flush=True)
-    _merge("bench_serving_online.json",
-           {f"{args.models[0]}_w{args.decode_window}_r{args.rate}": rec})
+    rec["weight_int8"] = args.weight_int8
+    rec["kv_int8"] = args.kv_int8
+    key = (f"{args.models[0]}_b{args.batch}_w{args.decode_window}"
+           f"_r{args.rate}"
+           + ("_w8" if args.weight_int8 else "")
+           + ("_kv8" if args.kv_int8 else ""))
+    _merge("bench_serving_online.json", {key: rec})
 
 
 def _merge(path, new):
