@@ -151,7 +151,7 @@ def stage_codes(args):
 def stage_gpt(args):
     from video_llamagen_tpu.train import train_c2i
     train_c2i.main([
-        "--gpt-model", "GPT-B", "--image-size", str(SIZE),
+        "--gpt-model", args.gpt_model, "--image-size", str(SIZE),
         "--downsample-size", "8", "--num-classes", str(N_CLASSES),
         "--code-path", f"{ROOT}/codes", "--global-batch-size", "128",
         "--epochs", "10000", "--max-steps", str(args.steps),
@@ -163,7 +163,7 @@ def stage_gpt(args):
 def stage_sample(args):
     from video_llamagen_tpu.inference import sample_npz
     sample_npz.main([
-        "--gpt-model", "GPT-B",
+        "--gpt-model", args.gpt_model,
         "--gpt-orbax", f"{ROOT}/{args.gpt_dir}/checkpoints",
         "--gpt-step", str(args.step), "--vq-model", "VQ-8",
         "--vq-orbax", f"{ROOT}/checkpoints",
@@ -171,16 +171,18 @@ def stage_sample(args):
         "--num-classes", str(N_CLASSES),
         "--num-samples", str(args.num_samples), "--per-batch", "64",
         "--cfg-scale", str(args.cfg_scale), "--top-k", "1000",
-        "--out", f"{ROOT}/samples_step{args.step}.npz",
+        "--out", f"{ROOT}/samples_{args.gpt_dir}_step{args.step}.npz"
+        if args.gpt_dir != "gpt" else f"{ROOT}/samples_step{args.step}.npz",
     ])
 
 
 def stage_fid(args):
     from video_llamagen_tpu.evals import evaluator
-    res = evaluator.main([f"{ROOT}/ref_batch.npz",
-                          f"{ROOT}/samples_step{args.step}.npz"])
+    stem = (f"samples_{args.gpt_dir}_step{args.step}"
+            if args.gpt_dir != "gpt" else f"samples_step{args.step}")
+    res = evaluator.main([f"{ROOT}/ref_batch.npz", f"{ROOT}/{stem}.npz"])
     if isinstance(res, dict):
-        _record(f"gpt_step{args.step}",
+        _record(f"{args.gpt_dir}_step{args.step}",
                 {k: round(float(v), 4) for k, v in res.items()})
 
 
@@ -224,6 +226,10 @@ def main():
     p.add_argument("--gpt-dir", default="gpt",
                    help="GPT results subdir under results_quality (a separate "
                         "dir trains a fresh model for early trajectory points)")
+    p.add_argument("--gpt-model", default="GPT-B",
+                   help="model size for gpt/sample stages — a second size on "
+                        "the SAME codes gives the scaling-figure series "
+                        "(ref tools/draw_figure.py:6-12)")
     args = p.parse_args()
     globals()[f"stage_{args.stage}"](args)
 

@@ -1,0 +1,108 @@
+"""Finish the flagship VQ-16 @256 tokenizer and close its rFID loop
+(VERDICT r2 next-step #4, first half).
+
+The reference's headline table is built on vq_ds16_c2i @256 (rFID 2.19,
+ref README.md:47); round 2 trained this config 800 steps and stopped. This
+driver resumes that run to plateau WITH the discriminator engaged (the
+reference tokenizer is a GAN), then closes the loop at 256px: held-out
+reconstruction PSNR, rFID-random (random-init InceptionV3 — absolute value
+not comparable to published rFID, but a real distribution distance), and a
+reconstruction grid.
+
+Stages (one per invocation — chip runs stay under shell timeouts):
+  python scripts/vq16_loop.py train [--max-steps 3000 --disc-start 1000]
+  python scripts/vq16_loop.py recon
+Results accumulate in results_vq16/quality.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "results_vq16")
+SIZE = 256
+
+
+def _record(key, value):
+    path = f"{ROOT}/quality.json"
+    table = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            table = json.load(f)
+    table[key] = value
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1)
+    print(f"recorded {key} -> {value}")
+
+
+def stage_train(args):
+    from video_llamagen_tpu.train import train_vq
+    train_vq.main([
+        "--vq-model", "VQ-16", "--image-size", str(SIZE),
+        "--global-batch-size", "16", "--max-steps", str(args.max_steps),
+        "--disc-start", str(args.disc_start), "--log-every", "25",
+        "--data-npy", f"{ROOT}/train_images_256.npy",
+        "--results-dir", ROOT, "--ckpt-every", "1000", "--resume",
+        "--remat",
+    ])
+
+
+def stage_recon(args):
+    """Held-out 256px reconstruction: PSNR + rFID-random + grid."""
+    import jax
+    import jax.numpy as jnp
+    from video_llamagen_tpu.core.checkpoint import load_vq_orbax
+    from video_llamagen_tpu.core.config import vq_config
+    from video_llamagen_tpu.tokenizers.vq import model as vq
+
+    vcfg = vq_config("VQ-16", dtype="bfloat16")
+    params = load_vq_orbax(f"{ROOT}/checkpoints", vcfg)
+    val = np.load(f"{ROOT}/val_images_256.npy")
+    recs = []
+    # params as an ARGUMENT: closing over them ships the weights inside the
+    # remote-compile request (HTTP 413 over the axon tunnel)
+    fwd = jax.jit(lambda p, x: vq.forward(p, vcfg, x)[0])
+    for i in range(0, len(val), 16):
+        x = jnp.asarray(val[i:i + 16].astype(np.float32) / 127.5 - 1)
+        recs.append(np.asarray(jnp.clip(127.5 * fwd(params, x) + 128.0,
+                                        0, 255)).astype(np.uint8))
+    rec = np.concatenate(recs)
+    mse = ((rec.astype(np.float32) - val.astype(np.float32)) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / mse)
+    np.savez(f"{ROOT}/val_recon.npz", arr_0=rec)
+    np.savez(f"{ROOT}/val_ref.npz", arr_0=val)
+    print(f"VQ-16 @256 recon PSNR {psnr:.2f} dB over {len(val)} held-out")
+    _record("recon_psnr_db", round(float(psnr), 2))
+
+    from video_llamagen_tpu.evals import evaluator
+    res = evaluator.main([f"{ROOT}/val_ref.npz", f"{ROOT}/val_recon.npz"])
+    if isinstance(res, dict):
+        _record("rfid_random", {k: round(float(v), 4)
+                                for k, v in res.items()})
+
+    from PIL import Image
+    pairs = []
+    for i in range(8):
+        pairs.append(np.concatenate([val[i], rec[i]], axis=0))
+    Image.fromarray(np.concatenate(pairs, axis=1)).save(
+        f"{ROOT}/recon_grid.png")
+    print(f"wrote {ROOT}/recon_grid.png (top: real, bottom: recon)")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("stage", choices=["train", "recon"])
+    p.add_argument("--max-steps", type=int, default=3000)
+    p.add_argument("--disc-start", type=int, default=1000)
+    args = p.parse_args()
+    globals()[f"stage_{args.stage}"](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
