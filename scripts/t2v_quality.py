@@ -197,21 +197,55 @@ def stage_train(args):
             running, last_t = 0.0, time.time()
     ckpt.save(args.steps, state._asdict())
     ckpt.wait()
-    logger.info(f"saved {outdir}/checkpoints step {args.steps}")
+    # params-only host-side pickle: sampling restores THIS instead of the
+    # full orbax state (orbax restore over the axon tunnel re-uploads the
+    # whole f32 state to device, ~25 min for GPT-B; params alone as numpy
+    # round-trip from local disk in seconds)
+    host_params = jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                         state.params)
+    np.save(f"{outdir}/params.npy", np.asarray([host_params], dtype=object),
+            allow_pickle=True)
+    logger.info(f"saved {outdir}/checkpoints step {args.steps} + params.npy")
 
 
 def _load_trained(args, cfg):
     import jax
+    tag = args.head + ("_shuffle" if args.shuffle_tokens else "")
+    pkl = f"{ROOT}/gpt_{tag}/params.npy"
+    if os.path.exists(pkl):
+        params = np.load(pkl, allow_pickle=True)[0]
+        print(f"restored gpt_{tag} params.npy (host pickle)")
+        return params
     from video_llamagen_tpu.core.checkpoint import CheckpointManager
     from video_llamagen_tpu.core.config import TrainConfig
     from video_llamagen_tpu.train.train_video import create_video_train_state
-    tag = args.head + ("_shuffle" if args.shuffle_tokens else "")
     template = create_video_train_state(jax.random.key(0), cfg,
                                         TrainConfig(lr=1e-4))
     ckpt = CheckpointManager(f"{ROOT}/gpt_{tag}/checkpoints")
     state = ckpt.restore(template)
     print(f"restored gpt_{tag} step {int(state.step)}")
     return state.params
+
+
+def stage_export(args):
+    """Orbax full state -> params-only params.npy, ON CPU (a device restore
+    over the axon tunnel re-uploads ~GBs; the CPU platform restores from
+    local disk in seconds)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from video_llamagen_tpu.core.checkpoint import CheckpointManager
+    from video_llamagen_tpu.core.config import TrainConfig
+    from video_llamagen_tpu.train.train_video import create_video_train_state
+    tag = args.head + ("_shuffle" if args.shuffle_tokens else "")
+    cfg = _gpt_cfg(args)
+    template = create_video_train_state(jax.random.key(0), cfg,
+                                        TrainConfig(lr=1e-4))
+    ckpt = CheckpointManager(f"{ROOT}/gpt_{tag}/checkpoints")
+    state = ckpt.restore(template)
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+    np.save(f"{ROOT}/gpt_{tag}/params.npy",
+            np.asarray([host], dtype=object), allow_pickle=True)
+    print(f"exported gpt_{tag} step {int(state.step)} -> params.npy")
 
 
 def stage_sample(args):
@@ -342,7 +376,7 @@ def classify_pixels(clips_u8: np.ndarray) -> np.ndarray:
     return out
 
 
-def _st_features(clips_u8: np.ndarray, batch: int = 16) -> np.ndarray:
+def _st_features(clips_u8: np.ndarray, batch: int = 64) -> np.ndarray:
     """Random-init spatiotemporal features for FVD-random: per-frame
     random-Inception pool3, per-clip [time-mean, mean |temporal delta|]."""
     import jax
@@ -406,8 +440,8 @@ def stage_score(args):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("stage", choices=["data", "latents", "train", "sample",
-                                     "score"])
+    p.add_argument("stage", choices=["data", "latents", "train", "export",
+                                     "sample", "score"])
     p.add_argument("--gpt-model", default="GPT-B")
     p.add_argument("--head", default="diff",
                    choices=["diff", "mse", "mask_diff", "mask_mse"])

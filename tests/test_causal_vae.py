@@ -234,9 +234,11 @@ def test_batched_tiled_decode_single_tile_is_direct(params):
     """When the latent fits one tile the fast path IS the direct decode."""
     z = jax.random.normal(jax.random.key(3), (1, 3, 4, 4, 2))
     cfg = TINY.replace(tile_sample_min_size=8)          # tile_l = 8/2 = 4
-    np.testing.assert_array_equal(
+    # compare against the JITTED direct decode: the short-circuit traces the
+    # same graph; the eager decode can differ in low-order bits (XLA fusion)
+    np.testing.assert_allclose(
         np.asarray(cv.tiled_decode_spatial_batched(params, cfg, z)),
-        np.asarray(cv.decode(params, cfg, z)))
+        np.asarray(cv.decode_jit(params, cfg, z)), atol=1e-6, rtol=1e-6)
 
 
 def test_batched_tiled_decode_matches_per_tile_merge(params):
