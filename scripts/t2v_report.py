@@ -41,7 +41,7 @@ def stage_sample(args):
     os.makedirs(ROOT, exist_ok=True)
     from video_llamagen_tpu.inference import sample_t2v
     t0 = time.perf_counter()
-    sample_t2v.main([
+    argv = [
         "--gpt-model", "GPT-B", "--sampler", args.sampler,
         "--image-size", "256", "--downsample-size", "8",
         "--num-frames", "17", "--cls-token-num", "120",
@@ -49,12 +49,15 @@ def stage_sample(args):
         "--cfg-scale", "4.0", "--batch", "1", "--tiled", "--time",
         "--tiling", args.tiling,
         "--out", f"{ROOT}/t2v_{args.sampler}",
-    ])
+    ]
+    if args.vae_bf16:
+        argv.append("--vae-bf16")
+    sample_t2v.main(argv)
     total = time.perf_counter() - t0
     frames = np.load(f"{ROOT}/t2v_{args.sampler}_frames.npy")
     with open(f"{ROOT}/t2v_{args.sampler}_timings.json") as f:
         timings = json.load(f)
-    _record(f"sample_{args.sampler}", {
+    _record(f"sample_{args.sampler}" + ("_vaebf16" if args.vae_bf16 else ""), {
         "frames": list(frames.shape), "total_wall_s": round(total, 1),
         **timings, "tiling": args.tiling,
         "finite": bool(np.isfinite(frames).all()),
@@ -155,6 +158,7 @@ def main():
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--tiling", default="batched",
                    choices=["batched", "reference"])
+    p.add_argument("--vae-bf16", action="store_true")
     args = p.parse_args()
     globals()[f"stage_{args.stage}"](args)
 

@@ -179,9 +179,20 @@ class GaussianDiffusion:
 
     # --------------------------------------------------------------- p(x_{t-1})
     def p_mean_variance(self, model_out: jnp.ndarray, x: jnp.ndarray,
-                        t: jnp.ndarray, clip_denoised: bool = False):
+                        t: jnp.ndarray, clip_denoised: bool = False,
+                        x0_clip: Optional[float] = None):
         """LEARNED_RANGE: model_out is [eps, var_interp] along channels
-        (ref gaussian_diffusion.py:246-289)."""
+        (ref gaussian_diffusion.py:246-289).
+
+        `x0_clip`: clamp the x0 estimate to [-x0_clip, x0_clip]. For
+        non-image targets (VAE latents) the reference's clip_denoised=False
+        is numerically unstable on the respaced cosine ladder: at the last
+        original timestep sqrt(1/acp-1) ~ 2e4 (capped betas), so an eps error
+        of 0.03 becomes a 600-sigma x0 estimate, and the respaced first
+        step's posterior coef1 (~0.017 at "100") injects ~10 sigma of it
+        into the chain, which then diverges monotonically (measured: sampled
+        latent std 2919 vs target 1.56). A generous latent-space bound caps
+        the injection (0.017*bound) without biasing in-range estimates."""
         c = x.shape[-1]
         eps, var_frac = jnp.split(model_out, [c], axis=-1)
         min_log = _extract(jnp.asarray(self.posterior_log_variance_clipped), t, x.ndim)
@@ -192,6 +203,8 @@ class GaussianDiffusion:
         x0 = self.predict_xstart_from_eps(x, t, eps)
         if clip_denoised:
             x0 = jnp.clip(x0, -1.0, 1.0)
+        elif x0_clip is not None:
+            x0 = jnp.clip(x0, -x0_clip, x0_clip)
         mean, _, _ = self.q_posterior_mean_variance(x0, x, t)
         return mean, model_log_var, x0
 
@@ -226,10 +239,12 @@ class GaussianDiffusion:
     # ----------------------------------------------------------------- sampling
     def p_sample_loop(self, model_fn: Callable, noise: jnp.ndarray,
                       rng: jax.Array, temperature: float = 1.0,
-                      clip_denoised: bool = False) -> jnp.ndarray:
+                      clip_denoised: bool = False,
+                      x0_clip: Optional[float] = None) -> jnp.ndarray:
         """Ancestral sampling as one lax.scan over the respaced ladder.
 
         model_fn(x, t_orig) -> (N, 2C) with t_orig already mapped.
+        `x0_clip`: see p_mean_variance — stabilizes latent-space sampling.
         """
         n_steps = self.num_timesteps
         tmap = jnp.asarray(self.timestep_map)
@@ -239,7 +254,8 @@ class GaussianDiffusion:
             t_idx = n_steps - 1 - i
             t = jnp.full((x.shape[0],), t_idx, jnp.int32)
             model_out = model_fn(x, tmap[t])
-            mean, logvar, _ = self.p_mean_variance(model_out, x, t, clip_denoised)
+            mean, logvar, _ = self.p_mean_variance(model_out, x, t, clip_denoised,
+                                                   x0_clip)
             rng, r = jax.random.split(rng)
             z = jax.random.normal(r, x.shape, x.dtype)
             nonzero = (t_idx != 0)

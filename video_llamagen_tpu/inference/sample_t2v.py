@@ -53,6 +53,10 @@ def main(argv=None):
                    help="batched: all spatial tiles in ONE compiled dispatch "
                         "(TPU fast path); reference: the serial per-tile grid "
                         "with the reference's exact trim arithmetic")
+    p.add_argument("--vae-bf16", action="store_true",
+                   help="cast VAE params + latents to bfloat16 for the "
+                        "decode (decoder is conv/HBM-bound; bf16 halves the "
+                        "bytes moved and keeps convs on the MXU)")
     p.add_argument("--time", dest="do_time", action="store_true",
                    help="run the AR loop and VAE decode TWICE and print both "
                         "wall-times: first call includes XLA compile, second "
@@ -135,15 +139,24 @@ def main(argv=None):
     b = latents.shape[0]
     vae_t = cfg.vae_t
     z = latents.reshape(b, vae_t, latent, latent, args.vae_embed_dim)
+    dec_dtype = jnp.bfloat16 if args.vae_bf16 else jnp.float32
+    if args.vae_bf16:
+        vae_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            vae_params)
 
     def run_decode():
+        zz = jnp.asarray(z, dec_dtype)
         if not args.tiled:
-            return np.asarray(cvae.decode_jit(vae_params, vcfg, jnp.asarray(z)))
+            return np.asarray(
+                cvae.decode_jit(vae_params, vcfg, zz), np.float32)
         fn = (cvae.tiled_decode_spatial_batched if args.tiling == "batched"
               else cvae.tiled_decode_spatial)
-        return np.asarray(fn(vae_params, vcfg, jnp.asarray(z)))
+        return np.asarray(fn(vae_params, vcfg, zz), np.float32)
 
-    mode = (f"tiled/{args.tiling}" if args.tiled else "direct")
+    mode = (f"tiled/{args.tiling}" if args.tiled else "direct") \
+        + ("/bf16" if args.vae_bf16 else "")
     t0 = _time.perf_counter()
     frames = run_decode()
     timings["vae_first_s"] = _time.perf_counter() - t0
@@ -153,9 +166,11 @@ def main(argv=None):
         timings["vae_steady_s"] = _time.perf_counter() - t0
         print(f"CausalVAE decode ({mode}): first {timings['vae_first_s']:.2f}s "
               f"(incl. compile), steady {timings['vae_steady_s']:.2f}s")
+        timings["vae_mode"] = mode
         import json as _json
         with open(f"{args.out}_timings.json", "w") as f:
-            _json.dump({k: round(v, 2) for k, v in timings.items()}, f)
+            _json.dump({k: round(v, 2) if isinstance(v, float) else v
+                        for k, v in timings.items()}, f)
     frames01 = np.clip((frames + 1) / 2, 0, 1)
     np.save(f"{args.out}_frames.npy", frames01)
     print(f"frames {frames01.shape} -> {args.out}_frames.npy")

@@ -164,10 +164,20 @@ def diffloss_train(params: Params, cfg: DiffLossConfig, target: jnp.ndarray,
 def diffloss_sample(params: Params, cfg: DiffLossConfig, z: jnp.ndarray,
                     rng: jax.Array, temperature: float = 1.0,
                     cfg_scale: float = 1.0,
-                    gen_diffusion: Optional[GaussianDiffusion] = None) -> jnp.ndarray:
+                    gen_diffusion: Optional[GaussianDiffusion] = None,
+                    x0_clip: Optional[float] = 10.0) -> jnp.ndarray:
     """Sample latents conditioned on trunk vectors z (N, zc) -> (N, C)
     (ref diffloss.py:35-52). With CFG, z holds [cond; uncond] halves and the
-    returned halves are identical."""
+    returned halves are identical.
+
+    x0_clip (default 10, generous vs latent std ~1.6): the reference samples
+    with clip_denoised=False (ref diffloss.py:48), which diverges on the
+    respaced cosine ladder for any finitely-trained head — the last original
+    timestep's 1/sqrt(acp) ~ 2e4 amplifies a 0.03 eps error into a 600-sigma
+    x0 estimate (measured: sampled latent std 2919 vs target 1.56 from a
+    head whose on-distribution eps MSE was 1e-3). Clipping the x0 estimate
+    to a static latent-space bound caps the error injection and is exact for
+    in-range estimates. Pass None for reference-faithful (unstable) behavior."""
     diff = gen_diffusion or create_diffusion(cfg.num_sampling_steps, "cosine")
     rn, rs = jax.random.split(rng)
     n = z.shape[0]
@@ -186,4 +196,5 @@ def diffloss_sample(params: Params, cfg: DiffLossConfig, z: jnp.ndarray,
         def model_fn(x, t_orig):
             return mlp_adaln_forward(params, cfg, x, t_orig, z)
 
-    return diff.p_sample_loop(model_fn, noise, rs, temperature=temperature)
+    return diff.p_sample_loop(model_fn, noise, rs, temperature=temperature,
+                              x0_clip=x0_clip)
