@@ -80,6 +80,29 @@ def test_p_sample_loop_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_p_sample_loop_x0_clip_bounds_divergence():
+    """x0_clip caps the x0-estimate error injection (see p_mean_variance
+    docstring): an adversarial eps that always pushes the x0 estimate out of
+    range must not blow up the chain when the clip is on, and must blow it
+    up when off (that contrast is the measured failure mode of the
+    reference's clip_denoised=False on latents, ref diffloss.py:48)."""
+    diff = gd.create_diffusion("10", "cosine")
+
+    def bad_model(x, t_orig):
+        # constant large wrong eps -> x0_pred = sra*x - srm*50 explodes
+        return jnp.concatenate([jnp.full_like(x, 50.0),
+                                jnp.zeros_like(x)], axis=-1)
+
+    noise = jax.random.normal(jax.random.key(0), (4, 4))
+    unclipped = diff.p_sample_loop(bad_model, noise, jax.random.key(1))
+    clipped = diff.p_sample_loop(bad_model, noise, jax.random.key(1),
+                                 x0_clip=10.0)
+    assert float(jnp.abs(unclipped).max()) > 1e3
+    # mean is a convex-ish combination of clipped x0 (<=10) and x_t, plus
+    # unit-scale noise: stays within a few times the clip bound
+    assert float(jnp.abs(clipped).max()) < 40.0
+
+
 TINY_DL = DiffLossConfig(target_channels=4, z_channels=16, depth=2, width=32,
                          num_sampling_steps="4")
 
