@@ -104,12 +104,15 @@ def _gpt_cfg(args):
                       dtype="bfloat16", remat=True)
 
 
+VAE_DIR = os.environ.get("T2VQ_VAE_DIR", "results_vae_ms2")
+
+
 def _vae():
     from video_llamagen_tpu.core.config import CausalVAEConfig
     from video_llamagen_tpu.core.checkpoint import load_vae_orbax
     vcfg = CausalVAEConfig(hidden_size=64)
     params = load_vae_orbax(os.path.join(os.path.dirname(ROOT), "..",
-                                         "results_vae_ms", "checkpoints"), vcfg)
+                                         VAE_DIR, "checkpoints"), vcfg)
     return params, vcfg
 
 
@@ -135,6 +138,7 @@ def stage_latents(args):
     import jax.numpy as jnp
     from video_llamagen_tpu.tokenizers.causal_vae import model as cvae
     params, vcfg = _vae()
+    scale = None
     for split in ("train", "val"):
         clips = np.load(f"{ROOT}/{split}_clips.npy").astype(np.float32) \
             / 127.5 - 1.0
@@ -145,9 +149,17 @@ def stage_latents(args):
                                      jnp.asarray(clips[i:i + 32]))
             outs.append(np.asarray(z, np.float32))
         z = np.concatenate(outs)                       # (N, 3, 8, 8, 4)
+        if scale is None:
+            # SD-style global scale factor: the diffusion head models the
+            # normalized latents, so its N(0,1) prior matches (train split
+            # defines the scale; decode multiplies it back)
+            scale = float(z.std())
+            with open(f"{ROOT}/latent_stats.json", "w") as f:
+                json.dump({"scale": scale}, f)
         np.save(f"{ROOT}/{split}_latents.npy",
-                z.reshape(len(z), -1, z.shape[-1]))
-        print(f"{split}: latents {z.shape} in {time.perf_counter()-t0:.1f}s")
+                (z / scale).reshape(len(z), -1, z.shape[-1]))
+        print(f"{split}: latents {z.shape} std {z.std():.3f} "
+              f"(scale {scale:.3f}) in {time.perf_counter()-t0:.1f}s")
 
 
 def stage_train(args):
@@ -271,6 +283,10 @@ def stage_sample(args):
 
     feats = np.load(f"{ROOT}/caption_feats.npy")
     vae_params, vcfg = _vae()
+    lat_scale = 1.0
+    if os.path.exists(f"{ROOT}/latent_stats.json"):
+        with open(f"{ROOT}/latent_stats.json") as f:
+            lat_scale = json.load(f)["scale"]
     all_frames, all_labels, all_latents = [], [], []
     rng = jax.random.key(args.seed)
     for c in range(len(CLASSES)):
@@ -291,8 +307,8 @@ def stage_sample(args):
             lat = gen.generate_ar_mse(params, cfg, cond)
         else:
             lat = gen.generate_ar(params, cfg, cond, r, cfg_scale=cfg_scale)
-        lat = np.asarray(lat, np.float32)
-        z = lat.reshape(N_PER_CLASS, cfg.vae_t, 8, 8, 4)
+        lat = np.asarray(lat, np.float32)   # normalized latent space
+        z = (lat * lat_scale).reshape(N_PER_CLASS, cfg.vae_t, 8, 8, 4)
         frames = np.asarray(cvae.decode_jit(vae_params, vcfg, jnp.asarray(z)))
         print(f"class {c}: sampled+decoded in {time.perf_counter()-t0:.1f}s")
         all_frames.append(_u8(frames))
@@ -438,10 +454,23 @@ def stage_score(args):
     print(f"recorded -> {path}")
 
 
+def stage_sampleall(args):
+    """Trained-cond + random-init + uncond rows then score, in ONE process so
+    the jit cache is shared (per-row processes each pay the ~8 min compile)."""
+    import copy
+    for tweak in ({}, {"random_init": True}, {"uncond": True}):
+        a = copy.copy(args)
+        for k, v in tweak.items():
+            setattr(a, k, v)
+        print(f"=== sample {tweak or 'trained'} ===", flush=True)
+        stage_sample(a)
+    stage_score(args)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("stage", choices=["data", "latents", "train", "export",
-                                     "sample", "score"])
+                                     "sample", "sampleall", "score"])
     p.add_argument("--gpt-model", default="GPT-B")
     p.add_argument("--head", default="diff",
                    choices=["diff", "mse", "mask_diff", "mask_mse"])

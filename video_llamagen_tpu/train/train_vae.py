@@ -146,6 +146,10 @@ def main(argv=None):
     p.add_argument("--moving-shapes", action="store_true",
                    help="train on structured moving-shape clips instead of "
                         "noise (seeded; roundtrip evals hold out seeds)")
+    p.add_argument("--data-npy", default=None,
+                   help="train on a uint8 (N,T,H,W,3) clip array instead of "
+                        "synthesizing per step (per-step host rendering on the "
+                        "single CPU core can starve the chip)")
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="save an orbax checkpoint every N steps and at the "
                         "end (0 = no checkpointing)")
@@ -177,12 +181,20 @@ def main(argv=None):
         from ..core.checkpoint import CheckpointManager
         ckpt = CheckpointManager(f"{args.results_dir}/checkpoints")
 
+    data = None
+    if args.data_npy:
+        data = np.load(args.data_npy).astype(np.float32) / 127.5 - 1.0
+        logger.info(f"data-npy: {data.shape} clips from {args.data_npy}")
+
     rng = jax.random.key(1)
     steps = 0
     last_t = time.time()
     while args.max_steps is None or steps < args.max_steps:
         rs = np.random.RandomState(steps)
-        if args.moving_shapes:
+        if data is not None:
+            idx = rs.randint(0, len(data), args.global_batch_size)
+            videos = jnp.asarray(data[idx])
+        elif args.moving_shapes:
             videos = jnp.asarray(moving_clips(rs, args.global_batch_size,
                                               frames, size))
         else:
