@@ -115,48 +115,51 @@ def bench_online(args):
     eng.stats.update(requests_done=0, tokens_generated=0, steps=0,
                      prefix_hits=0, prefix_misses=0)
 
-    rng = np.random.default_rng(0)
-    arrivals = np.cumsum(rng.exponential(1.0 / args.rate, args.num_requests))
-    t0 = time.monotonic()
-    pending = list(enumerate(arrivals))
-    done = []
-    while len(done) < args.num_requests:
-        now = time.monotonic() - t0
-        while pending and pending[0][1] <= now:
-            i, at = pending.pop(0)
-            rid = eng.add_request(np.int32(i % 1000), sp)
-            # backdate arrival to the scheduled time for honest latency
-            for r in eng.queue:
-                if r.request_id == rid:
-                    r.arrival_t = t0 + at
-        done.extend(eng.step())
-        if not eng.has_unfinished() and pending:
-            time.sleep(max(0.0, pending[0][1] - (time.monotonic() - t0)))
-    dt = time.monotonic() - t0
+    for rate in (args.rates or [args.rate]):
+        rng = np.random.default_rng(0)
+        arrivals = np.cumsum(rng.exponential(1.0 / rate, args.num_requests))
+        t0 = time.monotonic()
+        pending = list(enumerate(arrivals))
+        done = []
+        while len(done) < args.num_requests:
+            now = time.monotonic() - t0
+            while pending and pending[0][1] <= now:
+                i, at = pending.pop(0)
+                rid = eng.add_request(np.int32(i % 1000), sp)
+                # backdate arrival to the scheduled time for honest latency
+                for r in eng.queue:
+                    if r.request_id == rid:
+                        r.arrival_t = t0 + at
+            done.extend(eng.step())
+            if not eng.has_unfinished() and pending:
+                time.sleep(max(0.0, pending[0][1] - (time.monotonic() - t0)))
+        dt = time.monotonic() - t0
 
-    ttft = np.array([r.first_token_t - r.arrival_t for r in done])
-    e2e = np.array([r.finish_t - r.arrival_t for r in done])
-    rec = {
-        "model": args.models[0], "mode": "online", "rate_rps": args.rate,
-        "num_requests": args.num_requests, "max_batch": args.batch,
-        "n_tokens": args.n_tokens, "decode_window": args.decode_window,
-        "elapsed_s": round(dt, 2),
-        "tok_s": round(sum(len(r.tokens) for r in done) / dt, 1),
-        "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
-        "ttft_p99_s": round(float(np.percentile(ttft, 99)), 3),
-        "e2e_p50_s": round(float(np.percentile(e2e, 50)), 3),
-        "e2e_p99_s": round(float(np.percentile(e2e, 99)), 3),
-        "engine_steps": eng.stats["steps"],
-        "prefix_hits": eng.stats.get("prefix_hits", 0),
-    }
-    print(json.dumps(rec), flush=True)
-    rec["weight_int8"] = args.weight_int8
-    rec["kv_int8"] = args.kv_int8
-    key = (f"{args.models[0]}_b{args.batch}_w{args.decode_window}"
-           f"_r{args.rate}"
-           + ("_w8" if args.weight_int8 else "")
-           + ("_kv8" if args.kv_int8 else ""))
-    _merge("bench_serving_online.json", {key: rec})
+        ttft = np.array([r.first_token_t - r.arrival_t for r in done])
+        e2e = np.array([r.finish_t - r.arrival_t for r in done])
+        rec = {
+            "model": args.models[0], "mode": "online", "rate_rps": rate,
+            "num_requests": args.num_requests, "max_batch": args.batch,
+            "n_tokens": args.n_tokens, "decode_window": args.decode_window,
+            "elapsed_s": round(dt, 2),
+            "tok_s": round(sum(len(r.tokens) for r in done) / dt, 1),
+            "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
+            "ttft_p99_s": round(float(np.percentile(ttft, 99)), 3),
+            "e2e_p50_s": round(float(np.percentile(e2e, 50)), 3),
+            "e2e_p99_s": round(float(np.percentile(e2e, 99)), 3),
+            "engine_steps": eng.stats["steps"],
+            "prefix_hits": eng.stats.get("prefix_hits", 0),
+        }
+        print(json.dumps(rec), flush=True)
+        rec["weight_int8"] = args.weight_int8
+        rec["kv_int8"] = args.kv_int8
+        key = (f"{args.models[0]}_b{args.batch}_w{args.decode_window}"
+               f"_r{rate}"
+               + ("_w8" if args.weight_int8 else "")
+               + ("_kv8" if args.kv_int8 else ""))
+        _merge("bench_serving_online.json", {key: rec})
+        eng.stats.update(requests_done=0, tokens_generated=0, steps=0,
+                         prefix_hits=0, prefix_misses=0)
 
 
 def _merge(path, new):
@@ -179,6 +182,9 @@ def main():
     p.add_argument("--weight-int8", action="store_true")
     p.add_argument("--kv-int8", action="store_true")
     p.add_argument("--rate", type=float, default=4.0)
+    p.add_argument("--rates", type=float, nargs="+", default=None,
+                   help="measure several Poisson rates in ONE process "
+                        "(warmup compiles are paid once)")
     p.add_argument("--num-requests", type=int, default=32)
     p.add_argument("--decode-window", type=int, default=16)
     args = p.parse_args()

@@ -64,6 +64,18 @@ def stage_sample(args):
     })
 
 
+def stage_sampleall(args):
+    """All three samplers in ONE process: the tiled VAE decode jit (same
+    shape for every head) compiles once; each AR loop still reports its own
+    first/steady split."""
+    import copy
+    for sampler in ("ar", "ar_mse", "maskgit"):
+        a = copy.copy(args)
+        a.sampler = sampler
+        print(f"=== sampler {sampler} ===", flush=True)
+        stage_sample(a)
+
+
 def stage_roundtrip(args):
     """Tiled encode->decode roundtrip of a structured synthetic clip.
 
@@ -146,7 +158,7 @@ def stage_roundtrip(args):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("stage", choices=["sample", "roundtrip"])
+    p.add_argument("stage", choices=["sample", "sampleall", "roundtrip"])
     p.add_argument("--sampler", default="ar",
                    choices=["ar", "ar_mse", "maskgit"])
     p.add_argument("--num-sampling-steps", default="100")
