@@ -112,6 +112,7 @@ def bench_online(args):
             n_warmed += 1
         while eng.has_unfinished():
             eng.step()
+    print(f"prewarm: {eng.prewarm()} decode graphs", flush=True)
     eng.stats.update(requests_done=0, tokens_generated=0, steps=0,
                      prefix_hits=0, prefix_misses=0)
 

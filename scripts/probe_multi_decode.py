@@ -1,0 +1,124 @@
+"""Decompose the online-serving decode window cost (GPT-L, real chip).
+
+Round-3 finding: online serving saturates at ~600 tok/s while the offline
+ladder does 7.7-12.4k — ~3.3 s per 64-step window at batch 32 where the
+offline path's per-iteration cost says ~0.36 s. This probe times the
+engine's exact compiled window (`_decode_n_multi`) in isolation across
+variants to find where the time goes:
+
+  A  batch 32, int8 KV        (the measured online config)
+  B  batch 32, bf16 KV        (isolates the int8 cache write/read path)
+  C  batch 8,  bf16 KV        (the round-2 online config, for scale)
+  D  batch 32, bf16, scalar-pos cache write (dynamic_update_slice at a
+     shared position instead of the per-row scatter — wrong semantics,
+     right cost shape: isolates the scatter lowering)
+
+Usage: python scripts/probe_multi_decode.py [A B C D]
+"""
+
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4):
+    from video_llamagen_tpu.core.config import gpt_config
+    from video_llamagen_tpu.models import gpt
+    from video_llamagen_tpu.serve import engine as eng_mod
+
+    cfg = gpt_config("GPT-L", vocab_size=16384, block_size=576,
+                     num_classes=1000, cls_token_num=1, model_type="c2i",
+                     dtype="bfloat16")
+    rows = 2 * batch
+    s_max = 577
+    params = gpt.cast_params(gpt.init_gpt_params(jax.random.key(0), cfg),
+                             jnp.bfloat16)
+
+    if scalar_pos == "none":
+        orig = gpt._cache_write_slots
+
+        def no_write(entry, k_new, v_new, batch_ids, pos, active):
+            # attention over the FROZEN cache (wrong semantics): isolates
+            # whether the window cost is the reads or the write aliasing
+            return entry
+
+        gpt._cache_write_slots = no_write
+    elif scalar_pos:
+        orig = gpt._cache_write_slots
+
+        def shared_pos_write(entry, k_new, v_new, batch_ids, pos, active):
+            # dynamic_update_slice at pos[0] for every row: wrong semantics,
+            # same bytes as the real per-row scatter IF scatter is in-place
+            out = dict(entry)
+            p = pos[0]
+            for nm, x in (("k", k_new), ("v", v_new)):
+                row = x.astype(out[nm].dtype)[:, :, None]      # (B,KH,1,D)
+                out[nm] = jax.lax.dynamic_update_slice(
+                    out[nm], row, (0, 0, p, 0))
+            if "k_scale" in entry:
+                for nm in ("k_scale", "v_scale"):
+                    out[nm] = entry[nm]
+            return out
+
+        gpt._cache_write_slots = shared_pos_write
+
+    cache = (gpt.init_kv_cache_int8(cfg, rows, s_max) if kv_int8
+             else gpt.init_kv_cache(cfg, rows, s_max, jnp.bfloat16))
+    slot_tokens = jnp.zeros(batch, jnp.int32)
+    pos = jnp.full(rows, 1, jnp.int32)
+    active = jnp.ones(rows, bool)
+    col_valid = jnp.ones((rows, s_max), bool)
+    cfg_scales = jnp.full(batch, 2.0, jnp.float32)
+    temps = jnp.ones(batch, jnp.float32)
+    top_ks = jnp.full(batch, 1000, jnp.int32)
+    top_ps = jnp.ones(batch, jnp.float32)
+    freqs = gpt.precompute_freqs_2d(cfg.grid_size, cfg.head_dim,
+                                    cfg.rope_base, cfg.cls_token_num)
+
+    fn = eng_mod._decode_n_multi
+    rng = jax.random.key(0)
+    t0 = time.perf_counter()
+    toks, pos, cache = fn(params, cfg, k, jnp.bfloat16, slot_tokens, pos,
+                          cache, active, freqs, col_valid, cfg_scales, temps,
+                          top_ks, top_ps, rng)
+    np.asarray(toks)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(n_windows):
+        rng, r = jax.random.split(rng)
+        t0 = time.perf_counter()
+        toks, pos, cache = fn(params, cfg, k, jnp.bfloat16, toks[-1], pos,
+                              cache, active, freqs, col_valid, cfg_scales,
+                              temps, top_ks, top_ps, r)
+        np.asarray(toks)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(f"{name}: batch {batch} kv_int8={kv_int8} scalar_pos={scalar_pos} "
+          f"window_s={best:.3f} ms/iter={1000*best/k:.2f} "
+          f"tok/s={batch*k/best:.0f} compile_s={compile_s:.1f} "
+          f"times={[round(t,3) for t in times]}", flush=True)
+
+    if scalar_pos:
+        gpt._cache_write_slots = orig
+
+
+VARIANTS = {
+    "A": dict(batch=32, kv_int8=True),
+    "B": dict(batch=32, kv_int8=False),
+    "C": dict(batch=8, kv_int8=False),
+    "D": dict(batch=32, kv_int8=False, scalar_pos=True),
+    "E": dict(batch=32, kv_int8=False, scalar_pos="none"),
+    "F": dict(batch=64, kv_int8=False),
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(VARIANTS)
+    for n in names:
+        probe(n, **VARIANTS[n])

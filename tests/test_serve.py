@@ -134,6 +134,28 @@ def test_engine_t2i_emb_mask():
     assert done[0].tokens == want, (done[0].tokens, want)
 
 
+def test_read_bucket_crossing_bit_exact(params):
+    """Ramped attention-read buckets must not change outputs: a greedy decode
+    long enough to cross the 128-column bucket boundary matches the per-token
+    full-read stream bit for bit (TINY's max_seq 17 never exercises the
+    ladder, so this uses a 256-token block)."""
+    cfg = TINY.replace(block_size=196)
+    p = gpt.init_gpt_params(jax.random.key(1), cfg)
+    p = dict(p)
+    p["output"] = jax.random.normal(jax.random.key(8), p["output"].shape) * 0.02
+    sp = SamplingParams(max_tokens=160, cfg_scale=2.0, top_k=1)
+    eng_w = ServeEngine(p, cfg, max_batch=2, dtype=jnp.float32,
+                        decode_window=16)
+    assert eng_w._read_buckets == [128, cfg.block_size + 1]
+    toks_w = [r.tokens for r in eng_w.generate([1, 2], sp,
+                                               offline_fast_path=False)]
+    eng_1 = ServeEngine(p, cfg, max_batch=2, dtype=jnp.float32)
+    eng_1._read_buckets = [eng_1.max_seq]          # force full-length reads
+    toks_1 = [r.tokens for r in eng_1.generate([1, 2], sp,
+                                               offline_fast_path=False)]
+    assert toks_w == toks_1
+
+
 def test_decode_window_matches_per_step(params):
     """Fused multi-step decode (decode_window>1) must produce the same greedy
     streams as the sync-every-token loop, with far fewer host syncs."""

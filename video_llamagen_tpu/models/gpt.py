@@ -594,7 +594,8 @@ def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
 def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
                       pos: jnp.ndarray, cache, active: jnp.ndarray,
                       freqs_cis: jnp.ndarray,
-                      col_valid: Optional[jnp.ndarray] = None):
+                      col_valid: Optional[jnp.ndarray] = None,
+                      read_bound: Optional[int] = None):
     """Continuous-batching decode: PER-SLOT positions (serving hot loop).
 
     token_emb: (B, 1, dim); pos: (B,) int32 absolute position per slot;
@@ -602,18 +603,24 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
     logits are garbage (callers must ignore them). This is the TPU analog of
     vLLM's batched decode over ragged sequences (ref model_runner.py:676-886),
     with a dense slot-indexed cache instead of paged blocks.
+
+    read_bound: static attention read window — writes go to the full cache
+    but only cache[:, :, :read_bound] is streamed for the dots (caller
+    guarantees every active pos < read_bound). Same bandwidth lever as the
+    offline generate ramp (_entry_window); the serving engine buckets it.
     """
     b = token_emb.shape[0]
     s_max = cache_seq_len(cache)
+    s_read = min(read_bound, s_max) if read_bound is not None else s_max
     batch_ids = jnp.arange(b)
 
     # per-slot RoPE rows: (B, 1, pairs, 2)
     freqs_b = freqs_cis[pos][:, None]
 
-    col_ids = jnp.arange(s_max)
+    col_ids = jnp.arange(s_read)
     cols = col_ids[None, :] <= pos[:, None]                      # (B, S)
     if col_valid is not None:
-        cols = cols & col_valid  # padded-text columns masked (t2i serving)
+        cols = cols & col_valid[:, :s_read]  # padded-text cols masked (t2i)
     mask = cols[:, None, None, :]                                # (B,1,1,S)
 
     n_rep = cfg.n_head // cfg.kv_heads
@@ -644,10 +651,11 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
         # cache rows are (B, KH, S, D): per-slot scatter at [b, :, pos[b], :]
         entry = _cache_write_slots(cache[i], k[:, 0], v[:, 0], batch_ids,
                                    pos, active)
+        read = _entry_window(entry, s_read if s_read < s_max else None)
         if "k_scale" in entry:
-            attn = _decode_attn_int8(q, entry, mask, n_rep)
+            attn = _decode_attn_int8(q, read, mask, n_rep)
         else:
-            attn = _decode_attn(q, entry["k"], entry["v"], mask, n_rep)
+            attn = _decode_attn(q, read["k"], read["v"], mask, n_rep)
         h = h + linear(attn, lp["attention"]["wo"])
         h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
         new_cache.append(entry)

@@ -52,11 +52,12 @@ def _mix_and_sample_fn(logits_rows, cfg_scales, temps, top_ks, top_ps, rng):
     return sample_token_batched(rng, mixed, temps, top_ks, top_ps)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k", "dtype"),
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "dtype",
+                                             "read_bound"),
                    donate_argnums=(6,))  # cache updated in place, not copied
 def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
                     freqs_cis, col_valid, cfg_scales, temps, top_ks, top_ps,
-                    rng):
+                    rng, read_bound=None):
     """k continuous-batching decode steps in ONE dispatch.
 
     The per-step engine loop costs one host round-trip per token, which over
@@ -76,7 +77,7 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
         tok_emb = params["tok_embeddings"][row_tokens][:, None, :].astype(dtype)
         logits, cache = gpt.decode_step_multi(params, cfg, tok_emb, pos,
                                               cache, active, freqs_cis,
-                                              col_valid)
+                                              col_valid, read_bound)
         rng, r = jax.random.split(rng)
         sampled = _mix_and_sample_fn(logits, cfg_scales, temps, top_ks,
                                      top_ps, r)
@@ -168,6 +169,12 @@ class ServeEngine:
         # device-resident copies of the step args; None = slot state changed
         # on the host and must be re-uploaded before the next decode window
         self._dev = None
+        # ramped attention-read buckets: decode streams only
+        # cache[:, :, :bucket] where bucket is the smallest ladder entry
+        # covering max(active pos) + window — the offline generate ramp's
+        # bandwidth lever, bucketed so the compile count stays bounded
+        self._read_buckets = [b for b in (128, 256, 512, 1024, 2048, 4096)
+                              if b < self.max_seq] + [self.max_seq]
         self.rng = jax.random.key(0)
         self._next_id = 0
         self.stats = {"requests_done": 0, "tokens_generated": 0,
@@ -475,6 +482,33 @@ class ServeEngine:
             p *= 2
         return p
 
+    def prewarm(self, windows=None) -> int:
+        """Compile every decode-window graph the engine can dispatch —
+        (window k) x (read bucket) — WITHOUT touching engine state: the
+        dummy call runs with active=all-False, so cache writes write back
+        the old values and pos stays put. A cold compile mid-run costs
+        minutes over a network-attached chip and poisons online latency
+        percentiles; benches call this before the clock starts.
+
+        Returns the number of graphs compiled."""
+        windows = windows or sorted({1, self.decode_window})
+        zeros_b = jnp.zeros(self.max_batch, jnp.int32)
+        inactive = jnp.zeros(self.rows, bool)
+        pos0 = jnp.zeros(self.rows, jnp.int32)
+        col_valid = jnp.asarray(self.col_valid)
+        f1 = jnp.ones(self.max_batch, jnp.float32)
+        n = 0
+        for k in windows:
+            for rb in self._read_buckets:
+                self.rng, r = jax.random.split(self.rng)
+                toks, _, self.cache = _decode_n_multi(
+                    self.model_params, self.cfg, k, self.dtype, zeros_b,
+                    pos0, self.cache, inactive, self.freqs_cis, col_valid,
+                    f1, f1, zeros_b, f1, r, read_bound=rb)
+                np.asarray(toks)
+                n += 1
+        return n
+
     def step(self) -> List[Request]:
         """One engine iteration (ref llm_engine.py:511-581 step): admit new
         requests, run one batched decode dispatch (k fused steps) for all
@@ -503,6 +537,10 @@ class ServeEngine:
             top_ps[i] = sp.top_p
 
         k = self._pick_window(active_slots)
+        # finishing requests may overshoot max_seq by < k (surplus trimmed),
+        # hence the fallback to the full-length bucket
+        need = max(int(self.pos[2 * i]) for i in active_slots) + k + 1
+        rb = next((b for b in self._read_buckets if b >= need), self.max_seq)
         self.rng, r = jax.random.split(self.rng)
         # Device-resident step args: over a network-attached chip every
         # host->device upload costs a round-trip, and the old per-window
@@ -529,7 +567,7 @@ class ServeEngine:
             dev["slot_tokens"], dev["pos"], self.cache,
             dev["active"], self.freqs_cis, dev["col_valid"],
             dev["cfg_scales"], dev["temps"], dev["top_ks"],
-            dev["top_ps"], r)
+            dev["top_ps"], r, read_bound=rb)
         dev["slot_tokens"] = toks_dev[-1]  # device slice, no transfer
         dev["pos"] = pos_dev
         toks = np.asarray(toks_dev)    # (k, max_batch) — the ONE host sync
