@@ -154,6 +154,42 @@ def test_read_bucket_crossing_bit_exact(params):
     toks_1 = [r.tokens for r in eng_1.generate([1, 2], sp,
                                                offline_fast_path=False)]
     assert toks_w == toks_1
+    # int8 cache: WRITES are quantized at the window buffer exactly like the
+    # per-token path, so feeding the same token stream commits a
+    # bit-identical cache. (Sampled streams may flip at near-ties because
+    # the fused attention quantizes prob rows per source — same
+    # approximation class as int8 KV itself, so no stream equality is
+    # asserted.)
+    from video_llamagen_tpu.serve.engine import _decode_n_multi
+    rows = 2
+    cache8 = gpt.init_kv_cache_int8(cfg, rows, 64)
+    freqs = gpt.precompute_freqs_2d(cfg.grid_size, cfg.head_dim,
+                                    cfg.rope_base, cfg.cls_token_num)
+    common = dict(active=jnp.ones(rows, bool),
+                  col_valid=jnp.ones((rows, 64), bool),
+                  f=jnp.ones(1, jnp.float32))
+    args = (p, cfg, )
+    k8 = 8
+    toks, _, cache_w = _decode_n_multi(
+        p, cfg, k8, jnp.float32, jnp.array([7], jnp.int32),
+        jnp.ones(rows, jnp.int32), cache8, common["active"], freqs,
+        common["col_valid"], jnp.full(1, 2.0, jnp.float32), common["f"],
+        jnp.full(1, 1, jnp.int32), common["f"], jax.random.key(3),
+        read_bound=64)
+    fed = [7] + np.asarray(toks)[:-1, 0].tolist()   # tokens the window fed
+    cache_1 = gpt.init_kv_cache_int8(cfg, rows, 64)
+    pos = jnp.ones(rows, jnp.int32)
+    for t in fed:
+        _, pos, cache_1 = _decode_n_multi(
+            p, cfg, 1, jnp.float32, jnp.array([t], jnp.int32), pos,
+            cache_1, common["active"], freqs, common["col_valid"],
+            jnp.full(1, 2.0, jnp.float32), common["f"],
+            jnp.full(1, 1, jnp.int32), common["f"], jax.random.key(4),
+            read_bound=64)
+    for name in ("k", "k_scale", "v", "v_scale"):
+        got = np.asarray(cache_w[0][name][:, :, :1 + k8])
+        want = np.asarray(cache_1[0][name][:, :, :1 + k8])
+        assert np.array_equal(got, want), name
 
 
 def test_decode_window_matches_per_step(params):

@@ -665,6 +665,203 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
     return logits, new_cache
 
 
+def window_sources(cache, pos0: jnp.ndarray,
+                   col_valid: Optional[jnp.ndarray] = None,
+                   read_bound: Optional[int] = None):
+    """Frozen read views + constant mask for a decode window.
+
+    Carrying the slot cache through the window scan with per-row scatters
+    defeats XLA's in-place carry aliasing: the compiler inserts
+    compressed/uncompressed COPIES of the whole (B,KH,S,D) cache every
+    iteration (observed as remat_un/compressed HLO temps — ~10x the
+    arithmetic cost at GPT-L batch 64, and an OOM at batch 128). The frozen
+    design reads the big cache as a closed-over constant, writes each step's
+    K/V into a small (B,KH,k,D) window buffer at a SCALAR index (aliases in
+    place, like generate's scan), and commits the window to the big cache
+    with ONE scatter per layer afterwards (commit_window).
+
+    Returns ([per-layer read entries sliced to read_bound], big_mask
+    (B,1,1,S_read) — columns strictly below each row's window-start pos)."""
+    s_max = cache_seq_len(cache)
+    s_read = min(read_bound, s_max) if read_bound is not None else s_max
+    cols = jnp.arange(s_read)[None, :] < pos0[:, None]           # (B, S)
+    if col_valid is not None:
+        cols = cols & col_valid[:, :s_read]
+    reads = [_entry_window(e, s_read if s_read < s_max else None)
+             for e in cache]
+    return reads, cols[:, None, None, :]
+
+
+def init_window_bufs(cfg: GPTConfig, batch: int, k: int, dtype,
+                     int8: bool = False):
+    """Per-layer window K/V buffers (B, KH, k, D). Over an int8 cache the
+    buffers are int8+scales and each token is quantized AT WRITE — exactly
+    the per-token path's numerics, so outputs stay invariant to the window
+    size the scheduler happens to pick."""
+    shape = (batch, cfg.kv_heads, k, cfg.head_dim)
+    if int8:
+        # cache WRITES stay bit-identical to the per-token path (each token
+        # quantized once, at write). The fused attention's prob-row
+        # quantization still partitions by source, so int8 sampled streams
+        # can flip at near-ties vs a different window size — same class of
+        # approximation as int8 KV itself (bf16 streams are exactly
+        # window-invariant; test_serve pins both properties).
+        sshape = shape[:-1] + (1,)
+        return [{"k": jnp.zeros(shape, jnp.int8),
+                 "k_scale": jnp.zeros(sshape, jnp.float32),
+                 "v": jnp.zeros(shape, jnp.int8),
+                 "v_scale": jnp.zeros(sshape, jnp.float32)}
+                for _ in range(cfg.n_layer)]
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(cfg.n_layer)]
+
+
+def _source_scores(qh, q8qs, entry, mask, scale, n_rep: int):
+    """Masked pre-softmax scores for one attention source (bf16 or int8)."""
+    if "k_scale" in entry:
+        kq, ks = entry["k"], entry["k_scale"]
+        if n_rep > 1:
+            kq = jnp.repeat(kq, n_rep, axis=1)
+            ks = jnp.repeat(ks, n_rep, axis=1)
+        q8, qs = q8qs
+        s = jnp.einsum("bhqd,bhsd->bhqs", q8, kq,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        s = s * qs.astype(jnp.float32) \
+            * jnp.swapaxes(ks, -1, -2).astype(jnp.float32) * scale
+    else:
+        kb = entry["k"]
+        if n_rep > 1:
+            kb = jnp.repeat(kb, n_rep, axis=1)
+        s = jnp.einsum("bhqd,bhsd->bhqs", qh, kb).astype(jnp.float32) * scale
+    return jnp.where(mask, s, -jnp.inf)
+
+
+def _source_attn(probs, entry, n_rep: int):
+    """probs (B,H,1,S) x one source's V (bf16 or fused-int8)."""
+    if "v_scale" in entry:
+        vq, vs = entry["v"], entry["v_scale"]
+        if n_rep > 1:
+            vq = jnp.repeat(vq, n_rep, axis=1)
+            vs = jnp.repeat(vs, n_rep, axis=1)
+        pv = probs * jnp.swapaxes(vs, -1, -2).astype(jnp.float32)
+        p8, ps = _quantize_kv(pv)
+        a = jnp.einsum("bhqs,bhsd->bhqd", p8, vq,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        return a * ps.astype(jnp.float32)
+    vb = entry["v"]
+    if n_rep > 1:
+        vb = jnp.repeat(vb, n_rep, axis=1)
+    return jnp.einsum("bhqs,bhsd->bhqd", probs.astype(vb.dtype),
+                      vb).astype(jnp.float32)
+
+
+def _attn_two_source(q, read, big_mask, win, win_mask, n_rep: int):
+    """Decode attention over [frozen big cache | window buffer] with ONE
+    softmax across the concatenated scores (mathematically identical to
+    attending over the concatenated sequence). Either source may be bf16 or
+    fused-int8; with an int8 cache the window buffer is int8 too, so the
+    numerics match the per-token write path exactly."""
+    b, _, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,1,D)
+    q8qs = _quantize_kv(qh) if ("k_scale" in read or "k_scale" in win) \
+        else None
+    sb = _source_scores(qh, q8qs, read, big_mask, scale, n_rep)
+    sw = _source_scores(qh, q8qs, win, win_mask, scale, n_rep)
+    probs = jax.nn.softmax(jnp.concatenate([sb, sw], axis=-1), axis=-1)
+    pb, pw = probs[..., : sb.shape[-1]], probs[..., sb.shape[-1]:]
+    attn = (_source_attn(pb, read, n_rep)
+            + _source_attn(pw, win, n_rep)).astype(q.dtype)
+    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
+
+
+def decode_step_window(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
+                       i: jnp.ndarray, pos0: jnp.ndarray, reads, big_mask,
+                       win_bufs, freqs_cis: jnp.ndarray):
+    """One decode step inside a frozen-cache window (see window_sources).
+
+    token_emb (B,1,dim); i scalar iteration index; the fed token sits at
+    absolute position pos0 + i per row (all active rows advance in
+    lockstep inside a window). Returns (logits (B,V), win_bufs)."""
+    k_win = win_bufs[0]["k"].shape[2]
+    pos = pos0 + i
+    freqs_b = freqs_cis[pos][:, None]
+    win_mask = (jnp.arange(k_win) <= i)[None, None, None, :]     # (1,1,1,k)
+    n_rep = cfg.n_head // cfg.kv_heads
+    h = token_emb
+
+    def rope_b(x):
+        orig = x.dtype
+        xs = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        f = freqs_b[:, :, None]
+        cos, sin = f[..., 0], f[..., 1]
+        xr, xi = xs[..., 0], xs[..., 1]
+        out = jnp.stack([xr * cos - xi * sin, xi * cos + xr * sin], axis=-1)
+        return out.reshape(x.shape).astype(orig)
+
+    new_bufs = []
+    for li in range(cfg.n_layer):
+        lp = _layer_params(params, li)
+        hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        bsz, s, _ = hn.shape
+        kv_size = cfg.kv_heads * cfg.head_dim
+        qkv = linear(hn, lp["attention"]["wqkv"])
+        q, k, v = jnp.split(qkv, [cfg.dim, cfg.dim + kv_size], axis=-1)
+        q = rope_b(q.reshape(bsz, s, cfg.n_head, cfg.head_dim))
+        k = rope_b(k.reshape(bsz, s, cfg.kv_heads, cfg.head_dim))
+        v = v.reshape(bsz, s, cfg.kv_heads, cfg.head_dim)
+
+        wb = win_bufs[li]
+        k_row = jnp.transpose(k, (0, 2, 1, 3))                  # (B,KH,1,D)
+        v_row = jnp.transpose(v, (0, 2, 1, 3))
+        if "k_scale" in wb:
+            nb = {}
+            for name, x in (("k", k_row), ("v", v_row)):
+                q8, sc = _quantize_kv(x)
+                nb[name] = jax.lax.dynamic_update_slice(
+                    wb[name], q8, (0, 0, i, 0))
+                nb[name + "_scale"] = jax.lax.dynamic_update_slice(
+                    wb[name + "_scale"], sc, (0, 0, i, 0))
+        else:
+            nb = {"k": jax.lax.dynamic_update_slice(
+                      wb["k"], k_row.astype(wb["k"].dtype), (0, 0, i, 0)),
+                  "v": jax.lax.dynamic_update_slice(
+                      wb["v"], v_row.astype(wb["v"].dtype), (0, 0, i, 0))}
+        new_bufs.append(nb)
+
+        attn = _attn_two_source(q, reads[li], big_mask, nb, win_mask, n_rep)
+        h = h + linear(attn, lp["attention"]["wo"])
+        h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
+    return logits, new_bufs
+
+
+def commit_window(cache, win_bufs, pos0: jnp.ndarray, active: jnp.ndarray):
+    """Scatter each window buffer into the big cache at [b, :, pos0[b]+j]
+    (ONE scatter per layer per window; inactive rows keep their old values;
+    out-of-range overshoot positions are dropped by scatter semantics)."""
+    b, _, k_win, _ = win_bufs[0]["k"].shape
+    batch_ids = jnp.arange(b)[:, None]                           # (B,1)
+    idx = pos0[:, None] + jnp.arange(k_win)[None, :]             # (B,k)
+    gate = active[:, None, None, None]
+    out = []
+    for entry, wb in zip(cache, win_bufs):
+        e = dict(entry)
+        names = [n for n in ("k", "k_scale", "v", "v_scale") if n in wb]
+        for name in names:
+            # window buffers hold the already-quantized int8 values + scales
+            # (quantized at write, matching the per-token path bit for bit);
+            # value layout for advanced-index scatter: (B,k,KH,D)
+            val = jnp.transpose(wb[name], (0, 2, 1, 3))
+            old = e[name][batch_ids, :, idx]
+            val = jnp.where(gate, val.astype(old.dtype), old)
+            e[name] = e[name].at[batch_ids, :, idx].set(val)
+        out.append(e)
+    return out
+
+
 def prefill_into_slot(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
                       slot: jnp.ndarray, cache,
                       freqs_cis: jnp.ndarray,

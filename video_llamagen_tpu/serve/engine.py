@@ -70,23 +70,36 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     CUDA-graph replay).
 
     slot_tokens (R/2,) int32; returns ((k, R/2) tokens, pos, cache).
+
+    The window runs over a FROZEN cache: scan-carrying the big cache with
+    per-row scatters makes XLA insert compressed copies of it every
+    iteration (gpt.window_sources docstring has the numbers); instead each
+    step writes into small (B,KH,k,D) buffers at a scalar index and the
+    window commits to the big cache once, after the scan.
     """
-    def step(carry, _):
-        slot_tokens, pos, cache, rng = carry
+    rows = active.shape[0]
+    reads, big_mask = gpt.window_sources(cache, pos, col_valid, read_bound)
+    int8 = "k_scale" in cache[0]
+    buf_dtype = dtype if int8 else cache[0]["k"].dtype
+    win_bufs = gpt.init_window_bufs(cfg, rows, k, buf_dtype, int8=int8)
+
+    def step(carry, i):
+        slot_tokens, win_bufs, rng = carry
         row_tokens = jnp.repeat(slot_tokens, 2)
         tok_emb = params["tok_embeddings"][row_tokens][:, None, :].astype(dtype)
-        logits, cache = gpt.decode_step_multi(params, cfg, tok_emb, pos,
-                                              cache, active, freqs_cis,
-                                              col_valid, read_bound)
+        logits, win_bufs = gpt.decode_step_window(
+            params, cfg, tok_emb, i, pos, reads, big_mask, win_bufs,
+            freqs_cis)
         rng, r = jax.random.split(rng)
         sampled = _mix_and_sample_fn(logits, cfg_scales, temps, top_ks,
                                      top_ps, r)
         slot_tokens = jnp.where(active[::2], sampled, slot_tokens)
-        pos = pos + active.astype(pos.dtype)
-        return (slot_tokens, pos, cache, rng), slot_tokens
+        return (slot_tokens, win_bufs, rng), slot_tokens
 
-    (slot_tokens, pos, cache, _), toks = jax.lax.scan(
-        step, (slot_tokens, pos, cache, rng), None, length=k)
+    (slot_tokens, win_bufs, _), toks = jax.lax.scan(
+        step, (slot_tokens, win_bufs, rng), jnp.arange(k))
+    cache = gpt.commit_window(cache, win_bufs, pos, active)
+    pos = pos + k * active.astype(pos.dtype)
     return toks, pos, cache
 
 
