@@ -102,6 +102,10 @@ CONFIGS = {
                    {"n_chunks": 4, "kv_int8": True}),
     "P_b256_kv8": ("GPT-L", 256, 576, 2.0, 1000, True,
                    {"n_chunks": 4, "kv_int8": True}),
+    # generate-path twin of the serving probe's variant A (same batch/dtype/
+    # full-length reads): isolates the slot machinery's cost vs the offline
+    # scalar-pos scan
+    "Q_b32_kv8_full": ("GPT-L", 32, 576, 2.0, 1000, True, {"kv_int8": True}),
 }
 
 

@@ -170,22 +170,26 @@ def test_read_bucket_crossing_bit_exact(params):
                   f=jnp.ones(1, jnp.float32))
     args = (p, cfg, )
     k8 = 8
-    toks, _, cache_w = _decode_n_multi(
+    pos0 = jnp.ones(rows, jnp.int32)
+    toks, _, bufs = _decode_n_multi(
         p, cfg, k8, jnp.float32, jnp.array([7], jnp.int32),
-        jnp.ones(rows, jnp.int32), cache8, common["active"], freqs,
+        pos0, cache8, common["active"], freqs,
         common["col_valid"], jnp.full(1, 2.0, jnp.float32), common["f"],
         jnp.full(1, 1, jnp.int32), common["f"], jax.random.key(3),
         read_bound=64)
+    cache_w = gpt.commit_window(cache8, bufs, pos0, common["active"])
     fed = [7] + np.asarray(toks)[:-1, 0].tolist()   # tokens the window fed
     cache_1 = gpt.init_kv_cache_int8(cfg, rows, 64)
-    pos = jnp.ones(rows, jnp.int32)
+    pos = pos0
     for t in fed:
-        _, pos, cache_1 = _decode_n_multi(
+        _, npos, bufs1 = _decode_n_multi(
             p, cfg, 1, jnp.float32, jnp.array([t], jnp.int32), pos,
             cache_1, common["active"], freqs, common["col_valid"],
             jnp.full(1, 2.0, jnp.float32), common["f"],
             jnp.full(1, 1, jnp.int32), common["f"], jax.random.key(4),
             read_bound=64)
+        cache_1 = gpt.commit_window(cache_1, bufs1, pos, common["active"])
+        pos = npos
     for name in ("k", "k_scale", "v", "v_scale"):
         got = np.asarray(cache_w[0][name][:, :, :1 + k8])
         want = np.asarray(cache_1[0][name][:, :, :1 + k8])

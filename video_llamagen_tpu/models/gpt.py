@@ -838,28 +838,37 @@ def decode_step_window(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
     return logits, new_bufs
 
 
-def commit_window(cache, win_bufs, pos0: jnp.ndarray, active: jnp.ndarray):
-    """Scatter each window buffer into the big cache at [b, :, pos0[b]+j]
-    (ONE scatter per layer per window; inactive rows keep their old values;
-    out-of-range overshoot positions are dropped by scatter semantics)."""
-    b, _, k_win, _ = win_bufs[0]["k"].shape
+def commit_entry(entry, win_buf, pos0: jnp.ndarray, active: jnp.ndarray):
+    """Scatter ONE layer's window buffer into its cache entry at
+    [b, :, pos0[b]+j] (inactive rows keep their old values; out-of-range
+    overshoot positions are dropped by scatter semantics). Kept per-layer —
+    and jitted per-layer by the engine with the entry donated — so the
+    compiled graph's live set is one layer's entry, not the whole cache
+    (the axon AOT path does not alias donated whole-cache in/outs, which
+    OOMed GPT-L batch-128 int8 at 21.4 GB)."""
+    b, _, k_win, _ = win_buf["k"].shape
     batch_ids = jnp.arange(b)[:, None]                           # (B,1)
     idx = pos0[:, None] + jnp.arange(k_win)[None, :]             # (B,k)
     gate = active[:, None, None, None]
-    out = []
-    for entry, wb in zip(cache, win_bufs):
-        e = dict(entry)
-        names = [n for n in ("k", "k_scale", "v", "v_scale") if n in wb]
-        for name in names:
-            # window buffers hold the already-quantized int8 values + scales
-            # (quantized at write, matching the per-token path bit for bit);
-            # value layout for advanced-index scatter: (B,k,KH,D)
-            val = jnp.transpose(wb[name], (0, 2, 1, 3))
-            old = e[name][batch_ids, :, idx]
-            val = jnp.where(gate, val.astype(old.dtype), old)
-            e[name] = e[name].at[batch_ids, :, idx].set(val)
-        out.append(e)
-    return out
+    e = dict(entry)
+    for name in ("k", "k_scale", "v", "v_scale"):
+        if name not in win_buf:
+            continue
+        # window buffers hold the already-quantized int8 values + scales
+        # (quantized at write, matching the per-token path bit for bit);
+        # value layout for advanced-index scatter: (B,k,KH,D)
+        val = jnp.transpose(win_buf[name], (0, 2, 1, 3))
+        old = e[name][batch_ids, :, idx]
+        val = jnp.where(gate, val.astype(old.dtype), old)
+        e[name] = e[name].at[batch_ids, :, idx].set(val)
+    return e
+
+
+def commit_window(cache, win_bufs, pos0: jnp.ndarray, active: jnp.ndarray):
+    """All-layer commit (in-jit callers, e.g. tests); the engine commits
+    layer-by-layer through its own jitted commit_entry instead."""
+    return [commit_entry(e, wb, pos0, active)
+            for e, wb in zip(cache, win_bufs)]
 
 
 def prefill_into_slot(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,

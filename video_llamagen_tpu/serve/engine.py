@@ -52,9 +52,15 @@ def _mix_and_sample_fn(logits_rows, cfg_scales, temps, top_ks, top_ps, rng):
     return sample_token_batched(rng, mixed, temps, top_ks, top_ps)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _commit_entry(entry, win_buf, pos0, active):
+    """One layer's window commit; entry donated so the scatter is in place
+    (and even without aliasing the live set is one layer, not the cache)."""
+    return gpt.commit_entry(entry, win_buf, pos0, active)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "dtype",
-                                             "read_bound"),
-                   donate_argnums=(6,))  # cache updated in place, not copied
+                                             "read_bound"))
 def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
                     freqs_cis, col_valid, cfg_scales, temps, top_ks, top_ps,
                     rng, read_bound=None):
@@ -69,7 +75,7 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     re-written before any later read (vLLM amortizes the same loop with
     CUDA-graph replay).
 
-    slot_tokens (R/2,) int32; returns ((k, R/2) tokens, pos, cache).
+    slot_tokens (R/2,) int32; returns ((k, R/2) tokens, pos, win_bufs).
 
     The window runs over a FROZEN cache: scan-carrying the big cache with
     per-row scatters makes XLA insert compressed copies of it every
@@ -98,9 +104,10 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
 
     (slot_tokens, win_bufs, _), toks = jax.lax.scan(
         step, (slot_tokens, win_bufs, rng), jnp.arange(k))
-    cache = gpt.commit_window(cache, win_bufs, pos, active)
-    pos = pos + k * active.astype(pos.dtype)
-    return toks, pos, cache
+    # the big cache is a read-only INPUT here (no giant output to alias —
+    # the axon AOT compiler reserves unaliased in+out otherwise); the engine
+    # commits the window buffers layer-by-layer via _commit_entry
+    return toks, pos + k * active.astype(pos.dtype), win_bufs
 
 
 @dataclass
@@ -514,10 +521,14 @@ class ServeEngine:
         for k in windows:
             for rb in self._read_buckets:
                 self.rng, r = jax.random.split(self.rng)
-                toks, _, self.cache = _decode_n_multi(
+                toks, _, win_bufs = _decode_n_multi(
                     self.model_params, self.cfg, k, self.dtype, zeros_b,
                     pos0, self.cache, inactive, self.freqs_cis, col_valid,
                     f1, f1, zeros_b, f1, r, read_bound=rb)
+                # warm the per-layer commit graph too (shared across layers;
+                # inactive rows -> state-preserving)
+                self.cache = [_commit_entry(e, wb, pos0, inactive)
+                              for e, wb in zip(self.cache, win_bufs)]
                 np.asarray(toks)
                 n += 1
         return n
@@ -575,12 +586,14 @@ class ServeEngine:
                 "top_ps": jnp.asarray(top_ps),
             }
         dev = self._dev
-        toks_dev, pos_dev, self.cache = _decode_n_multi(
+        toks_dev, pos_dev, win_bufs = _decode_n_multi(
             self.model_params, self.cfg, k, self.dtype,
             dev["slot_tokens"], dev["pos"], self.cache,
             dev["active"], self.freqs_cis, dev["col_valid"],
             dev["cfg_scales"], dev["temps"], dev["top_ks"],
             dev["top_ps"], r, read_bound=rb)
+        self.cache = [_commit_entry(e, wb, dev["pos"], dev["active"])
+                      for e, wb in zip(self.cache, win_bufs)]
         dev["slot_tokens"] = toks_dev[-1]  # device slice, no transfer
         dev["pos"] = pos_dev
         toks = np.asarray(toks_dev)    # (k, max_batch) — the ONE host sync
