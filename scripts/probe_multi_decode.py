@@ -57,6 +57,12 @@ def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4):
             # same bytes as the real per-row scatter IF scatter is in-place
             out = dict(entry)
             p = pos[0]
+            if "kT" in entry:   # seq-minor int8 layout
+                for nm, x in (("kT", k_new), ("vT", v_new)):
+                    col = x.astype(out[nm].dtype)[..., None]   # (B,KH,D,1)
+                    out[nm] = jax.lax.dynamic_update_slice(
+                        out[nm], col, (0, 0, 0, p))
+                return out
             for nm, x in (("k", k_new), ("v", v_new)):
                 row = x.astype(out[nm].dtype)[:, :, None]      # (B,KH,1,D)
                 out[nm] = jax.lax.dynamic_update_slice(

@@ -101,10 +101,11 @@ def test_inactive_slots_untouched_int8(params):
     _, cache2 = gpt.decode_step_multi(params, CFG, tok, pos, cache, active,
                                       freqs)
     # row 1 inactive: its cache rows (incl. scales) stay zero
+    # (seq-minor int8 entries: kT (B,KH,D,S), kT_scale (B,KH,S))
     for e in cache2:
-        assert not np.any(np.asarray(e["k"][1]))
-        assert not np.any(np.asarray(e["k_scale"][1]))
-        assert np.any(np.asarray(e["k_scale"][0, :, 0]))   # row 0 written
+        assert not np.any(np.asarray(e["kT"][1]))
+        assert not np.any(np.asarray(e["kT_scale"][1]))
+        assert np.any(np.asarray(e["kT_scale"][0, :, 0]))   # row 0 written
 
 
 def test_generate_kv_int8_tokens():

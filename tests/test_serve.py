@@ -190,9 +190,9 @@ def test_read_bucket_crossing_bit_exact(params):
             read_bound=64)
         cache_1 = gpt.commit_window(cache_1, bufs1, pos, common["active"])
         pos = npos
-    for name in ("k", "k_scale", "v", "v_scale"):
-        got = np.asarray(cache_w[0][name][:, :, :1 + k8])
-        want = np.asarray(cache_1[0][name][:, :, :1 + k8])
+    for name in ("kT", "kT_scale", "vT", "vT_scale"):
+        got = np.asarray(cache_w[0][name][..., :1 + k8])
+        want = np.asarray(cache_1[0][name][..., :1 + k8])
         assert np.array_equal(got, want), name
 
 

@@ -336,25 +336,40 @@ def init_kv_cache(cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
 
 
 def init_kv_cache_int8(cfg: GPTConfig, batch: int, max_seq: int):
-    """int8 KV cache with per-token, per-head scales: half the HBM of bf16.
+    """int8 KV cache, SEQ-MINOR layout: kT/vT are (B, KH, D, S) with
+    per-token, per-head scales (B, KH, S). Half the HBM of bf16.
 
-    Doubles serving capacity (2x slots or 2x context at fixed memory) for
-    ~0.4% quantization error — the TPU analog of vLLM's kv_cache_dtype=int8
-    (ref model_runner.py / cache config). Entries carry {k, k_scale, v,
-    v_scale}; every read/write path dispatches on that structure statically,
-    so bf16 and int8 caches share one decode implementation.
+    Why seq-minor (measured on TPU): for s8 arrays in the bf16 cache's
+    (B, KH, S, D) shape XLA picks a {3,1,2,0} layout whose 128-lane dim is
+    D=64 — every buffer PADS 2.0x, so int8 reads stream the same bytes as
+    bf16, and the compiler keeps compressed args + uncompressed HLO-temp
+    copies of all 2*n_layer buffers (GPT-L 256 rows: 13.8 GB of temp copies
+    -> compile OOM at 21.4 GB). With S minor the lane pad is 577->640 (11%),
+    there is nothing to compress, and int8 truly halves the KV stream.
+    The TPU analog of vLLM's kv_cache_dtype=int8 (ref model_runner.py /
+    cache config). Every read/write path dispatches statically on the entry
+    structure ({k,v} bf16 vs {kT,kT_scale,vT,vT_scale} int8), so both cache
+    kinds share one decode implementation.
     """
-    shape = (batch, cfg.kv_heads, max_seq, cfg.head_dim)
-    sshape = (batch, cfg.kv_heads, max_seq, 1)
-    return [{"k": jnp.zeros(shape, jnp.int8),
-             "k_scale": jnp.zeros(sshape, jnp.bfloat16),
-             "v": jnp.zeros(shape, jnp.int8),
-             "v_scale": jnp.zeros(sshape, jnp.bfloat16)}
+    shape = (batch, cfg.kv_heads, cfg.head_dim, max_seq)
+    sshape = (batch, cfg.kv_heads, max_seq)
+    return [{"kT": jnp.zeros(shape, jnp.int8),
+             "kT_scale": jnp.zeros(sshape, jnp.bfloat16),
+             "vT": jnp.zeros(shape, jnp.int8),
+             "vT_scale": jnp.zeros(sshape, jnp.bfloat16)}
             for _ in range(cfg.n_layer)]
 
 
 def cache_seq_len(cache) -> int:
-    return cache[0]["k"].shape[2]
+    e = cache[0]
+    return e["kT"].shape[3] if "kT" in e else e["k"].shape[2]
+
+
+def entry_seq_axis(name: str, ndim: int) -> int:
+    """Seq axis of a cache-entry tensor: last for seq-minor (kT/vT) names,
+    2 for the bf16 (B,KH,S,D) layout. Engine slot copy/swap helpers use this
+    to stay layout-agnostic."""
+    return ndim - 1 if name.startswith(("kT", "vT")) else 2
 
 
 def _quantize_kv(x: jnp.ndarray):
@@ -375,13 +390,25 @@ def _entry_window(entry, window: Optional[int]):
     ms/row is KV traffic), so reading only a prefix window that covers the
     current position cuts the dominant term. Callers pick a static `window`
     per scan segment (inference/generate.py ramps it across chunks)."""
+    if "kT" in entry:
+        if window is None or window >= entry["kT"].shape[3]:
+            return entry
+        return {name: x[..., :window] for name, x in entry.items()}
     if window is None or window >= entry["k"].shape[2]:
         return entry
     return {name: x[:, :, :window] for name, x in entry.items()}
 
 
-def _cache_kv(entry):
-    """Read a cache entry as attend-able (bf16) K/V, dequantizing if int8."""
+def entry_kv(entry):
+    """Read a cache entry as attend-able (B,KH,S,D) bf16 K/V, dequantizing
+    and/or un-transposing as needed (tests + debug; the hot paths read the
+    native layout directly)."""
+    if "kT" in entry:
+        ck = jnp.swapaxes(entry["kT"], 2, 3).astype(jnp.bfloat16) \
+            * entry["kT_scale"].astype(jnp.bfloat16)[..., None]
+        cv = jnp.swapaxes(entry["vT"], 2, 3).astype(jnp.bfloat16) \
+            * entry["vT_scale"].astype(jnp.bfloat16)[..., None]
+        return ck, cv
     if "k_scale" in entry:
         ck = entry["k"].astype(jnp.bfloat16) * entry["k_scale"].astype(
             jnp.bfloat16)
@@ -391,9 +418,24 @@ def _cache_kv(entry):
     return entry["k"], entry["v"]
 
 
-def _cache_write(entry, k_r: jnp.ndarray, v_r: jnp.ndarray, start):
-    """Contiguous write of rows k_r/v_r (B', KH, T, D) at `start` indices."""
+def _cache_write(entry, k_r: jnp.ndarray, v_r: jnp.ndarray, batch_off,
+                 seq_off):
+    """Contiguous write of rows k_r/v_r (B', KH, T, D) at [batch_off ...,
+    seq_off:seq_off+T] (layout-aware)."""
     dus = jax.lax.dynamic_update_slice
+    if "kT" in entry:
+        kq, ks = _quantize_kv(k_r)                     # (B,KH,T,D),(B,KH,T,1)
+        vq, vs = _quantize_kv(v_r)
+        sd = entry["kT_scale"].dtype
+        return {"kT": dus(entry["kT"], jnp.swapaxes(kq, 2, 3),
+                          (batch_off, 0, 0, seq_off)),
+                "kT_scale": dus(entry["kT_scale"], ks[..., 0].astype(sd),
+                                (batch_off, 0, seq_off)),
+                "vT": dus(entry["vT"], jnp.swapaxes(vq, 2, 3),
+                          (batch_off, 0, 0, seq_off)),
+                "vT_scale": dus(entry["vT_scale"], vs[..., 0].astype(sd),
+                                (batch_off, 0, seq_off))}
+    start = (batch_off, 0, seq_off, 0)
     if "k_scale" in entry:
         kq, ks = _quantize_kv(k_r)
         vq, vs = _quantize_kv(v_r)
@@ -414,6 +456,17 @@ def _cache_write_slots(entry, k_new: jnp.ndarray, v_new: jnp.ndarray,
     k_new/v_new: (B, KH, D)."""
     gate = active[:, None, None]
     out = dict(entry)
+    if "kT" in entry:
+        sd = entry["kT_scale"].dtype
+        for name, x in (("kT", k_new), ("vT", v_new)):
+            q, s = _quantize_kv(x)                       # (B,KH,D),(B,KH,1)
+            q = jnp.where(gate, q, entry[name][batch_ids, :, :, pos])
+            s2 = jnp.where(active[:, None], s[..., 0].astype(sd),
+                           entry[name + "_scale"][batch_ids, :, pos])
+            out[name] = entry[name].at[batch_ids, :, :, pos].set(q)
+            out[name + "_scale"] = entry[name + "_scale"].at[
+                batch_ids, :, pos].set(s2)
+        return out
     if "k_scale" in entry:
         sd = entry["k_scale"].dtype
         for name, x in (("k", k_new), ("v", v_new)):
@@ -503,6 +556,39 @@ def _decode_attn_int8(q, entry, mask, n_rep: int):
     return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
 
 
+def _decode_attn_int8T(q, entry, mask, n_rep: int):
+    """Fused int8 decode attention over the SEQ-MINOR cache (kT (B,KH,D,S),
+    scales (B,KH,S)); same math as _decode_attn_int8 (see its docstring),
+    but q·K^T is now a true (1,D)x(D,S) matmul — contraction over K's
+    sublane dim — and the s8 stream carries no lane padding."""
+    b, _, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    kq, ks = entry["kT"], entry["kT_scale"]
+    vq, vs = entry["vT"], entry["vT_scale"]
+    if n_rep > 1:
+        kq = jnp.repeat(kq, n_rep, axis=1)
+        ks = jnp.repeat(ks, n_rep, axis=1)
+        vq = jnp.repeat(vq, n_rep, axis=1)
+        vs = jnp.repeat(vs, n_rep, axis=1)
+
+    qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,1,D)
+    q8, qs = _quantize_kv(qh)                                  # int8, (B,H,1,1)
+    scores = jnp.einsum("bhqd,bhds->bhqs", q8, kq,
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+    scores = scores * qs.astype(jnp.float32)
+    scores = scores * ks[:, :, None, :].astype(jnp.float32) * scale
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)                    # (B,H,1,S)
+
+    pv = probs * vs[:, :, None, :].astype(jnp.float32)         # fold v scales
+    p8, ps = _quantize_kv(pv)                                  # int8, (B,H,1,1)
+    attn_i = jnp.einsum("bhqs,bhds->bhqd", p8, vq,
+                        preferred_element_type=jnp.int32)
+    attn = attn_i.astype(jnp.float32) * ps.astype(jnp.float32)
+    attn = attn.astype(q.dtype)
+    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
+
+
 def prefill_forward(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
                     cache, prefill_mask: Optional[jnp.ndarray],
                     freqs_cis: jnp.ndarray):
@@ -526,7 +612,7 @@ def prefill_forward(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
         q, k, v = _qkv(lp, cfg, hn, freqs)
         k_r = jnp.transpose(k, (0, 2, 1, 3))                  # (B,KH,T,D)
         v_r = jnp.transpose(v, (0, 2, 1, 3))
-        entry = _cache_write(cache[i], k_r, v_r, (0, 0, 0, 0))
+        entry = _cache_write(cache[i], k_r, v_r, 0, 0)
         attn = _attn_core(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep),
                           prefill_mask)
         h = h + linear(attn, lp["attention"]["wo"])
@@ -576,9 +662,11 @@ def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
         q, k, v = _qkv(lp, cfg, hn, freqs)
         k_row = jnp.transpose(k, (0, 2, 1, 3))     # (B,KH,1,D)
         v_row = jnp.transpose(v, (0, 2, 1, 3))
-        entry = _cache_write(cache[i], k_row, v_row, (0, 0, pos, 0))
+        entry = _cache_write(cache[i], k_row, v_row, 0, pos)
         read = _entry_window(entry, window)
-        if "k_scale" in entry:
+        if "kT" in entry:
+            attn = _decode_attn_int8T(q, read, mask, n_rep)
+        elif "k_scale" in entry:
             attn = _decode_attn_int8(q, read, mask, n_rep)
         else:
             attn = _decode_attn(q, read["k"], read["v"], mask, n_rep)
@@ -652,7 +740,9 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
         entry = _cache_write_slots(cache[i], k[:, 0], v[:, 0], batch_ids,
                                    pos, active)
         read = _entry_window(entry, s_read if s_read < s_max else None)
-        if "k_scale" in entry:
+        if "kT" in entry:
+            attn = _decode_attn_int8T(q, read, mask, n_rep)
+        elif "k_scale" in entry:
             attn = _decode_attn_int8(q, read, mask, n_rep)
         else:
             attn = _decode_attn(q, read["k"], read["v"], mask, n_rep)
@@ -717,7 +807,19 @@ def init_window_bufs(cfg: GPTConfig, batch: int, k: int, dtype,
 
 
 def _source_scores(qh, q8qs, entry, mask, scale, n_rep: int):
-    """Masked pre-softmax scores for one attention source (bf16 or int8)."""
+    """Masked pre-softmax scores for one attention source (bf16 or int8;
+    the big cache may be seq-minor int8, window buffers are seq-major)."""
+    if "kT" in entry:
+        kq, ks = entry["kT"], entry["kT_scale"]
+        if n_rep > 1:
+            kq = jnp.repeat(kq, n_rep, axis=1)
+            ks = jnp.repeat(ks, n_rep, axis=1)
+        q8, qs = q8qs
+        s = jnp.einsum("bhqd,bhds->bhqs", q8, kq,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        s = s * qs.astype(jnp.float32) \
+            * ks[:, :, None, :].astype(jnp.float32) * scale
+        return jnp.where(mask, s, -jnp.inf)
     if "k_scale" in entry:
         kq, ks = entry["k"], entry["k_scale"]
         if n_rep > 1:
@@ -737,7 +839,17 @@ def _source_scores(qh, q8qs, entry, mask, scale, n_rep: int):
 
 
 def _source_attn(probs, entry, n_rep: int):
-    """probs (B,H,1,S) x one source's V (bf16 or fused-int8)."""
+    """probs (B,H,1,S) x one source's V (bf16 or fused-int8, either layout)."""
+    if "vT" in entry:
+        vq, vs = entry["vT"], entry["vT_scale"]
+        if n_rep > 1:
+            vq = jnp.repeat(vq, n_rep, axis=1)
+            vs = jnp.repeat(vs, n_rep, axis=1)
+        pv = probs * vs[:, :, None, :].astype(jnp.float32)
+        p8, ps = _quantize_kv(pv)
+        a = jnp.einsum("bhqs,bhds->bhqd", p8, vq,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        return a * ps.astype(jnp.float32)
     if "v_scale" in entry:
         vq, vs = entry["v"], entry["v_scale"]
         if n_rep > 1:
@@ -764,8 +876,8 @@ def _attn_two_source(q, read, big_mask, win, win_mask, n_rep: int):
     b, _, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
     qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,1,D)
-    q8qs = _quantize_kv(qh) if ("k_scale" in read or "k_scale" in win) \
-        else None
+    q8qs = _quantize_kv(qh) if ("k_scale" in read or "kT" in read
+                                or "k_scale" in win) else None
     sb = _source_scores(qh, q8qs, read, big_mask, scale, n_rep)
     sw = _source_scores(qh, q8qs, win, win_mask, scale, n_rep)
     probs = jax.nn.softmax(jnp.concatenate([sb, sw], axis=-1), axis=-1)
@@ -851,6 +963,21 @@ def commit_entry(entry, win_buf, pos0: jnp.ndarray, active: jnp.ndarray):
     idx = pos0[:, None] + jnp.arange(k_win)[None, :]             # (B,k)
     gate = active[:, None, None, None]
     e = dict(entry)
+    if "kT" in entry:
+        # window buffers stay seq-major (B,KH,k,D)+(B,KH,k,1); scatter into
+        # the seq-minor cache at [b, :, :, pos0[b]+j] / [b, :, pos0[b]+j]
+        for wname, cname in (("k", "kT"), ("v", "vT")):
+            val = jnp.transpose(win_buf[wname], (0, 2, 1, 3))    # (B,k,KH,D)
+            old = e[cname][batch_ids, :, :, idx]                 # (B,k,KH,D)
+            val = jnp.where(gate, val.astype(old.dtype), old)
+            e[cname] = e[cname].at[batch_ids, :, :, idx].set(val)
+            sval = jnp.transpose(win_buf[wname + "_scale"][..., 0],
+                                 (0, 2, 1))                      # (B,k,KH)
+            sold = e[cname + "_scale"][batch_ids, :, idx]        # (B,k,KH)
+            sval = jnp.where(gate[..., 0], sval.astype(sold.dtype), sold)
+            e[cname + "_scale"] = e[cname + "_scale"].at[
+                batch_ids, :, idx].set(sval)
+        return e
     for name in ("k", "k_scale", "v", "v_scale"):
         if name not in win_buf:
             continue
@@ -895,7 +1022,7 @@ def prefill_into_slot(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
         q, k, v = _qkv(lp, cfg, hn, freqs)
         k_r = jnp.transpose(k, (0, 2, 1, 3))     # (1,KH,T,D)
         v_r = jnp.transpose(v, (0, 2, 1, 3))
-        entry = _cache_write(cache[i], k_r, v_r, (slot, 0, 0, 0))
+        entry = _cache_write(cache[i], k_r, v_r, slot, 0)
         attn = _attn_core(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep), mask)
         h = h + linear(attn, lp["attention"]["wo"])
         h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))

@@ -85,7 +85,7 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     """
     rows = active.shape[0]
     reads, big_mask = gpt.window_sources(cache, pos, col_valid, read_bound)
-    int8 = "k_scale" in cache[0]
+    int8 = "kT" in cache[0]
     buf_dtype = dtype if int8 else cache[0]["k"].dtype
     win_bufs = gpt.init_window_bufs(cfg, rows, k, buf_dtype, int8=int8)
 
@@ -220,18 +220,22 @@ class ServeEngine:
     @functools.partial(jax.jit, static_argnames=("t",))
     def _extract_rows(cache, slot, t: int):
         """Copy one slot's first t KV rows out of every layer's cache entry
-        (works for bf16 {k,v} and int8 {k,k_scale,v,v_scale} entries)."""
-        return [{name: jax.lax.dynamic_slice(
-                    a, (slot, 0, 0, 0),
-                    (1, a.shape[1], t, a.shape[3]))
-                 for name, a in entry.items()} for entry in cache]
+        (layout-agnostic: bf16 {k,v} or seq-minor int8 {kT,...})."""
+        def ex(name, a):
+            ax = gpt.entry_seq_axis(name, a.ndim)
+            sizes = (1,) + a.shape[1:ax] + (t,) + a.shape[ax + 1:]
+            return jax.lax.dynamic_slice(a, (slot,) + (0,) * (a.ndim - 1),
+                                         sizes)
+        return [{name: ex(name, a) for name, a in entry.items()}
+                for entry in cache]
 
     @staticmethod
     @jax.jit
     def _insert_rows(cache, rows, slot):
         """Write stored KV rows into `slot` across all layers."""
         return [{name: jax.lax.dynamic_update_slice(
-                    entry[name], r[name], (slot, 0, 0, 0))
+                    entry[name], r[name],
+                    (slot,) + (0,) * (entry[name].ndim - 1))
                  for name in entry} for entry, r in zip(cache, rows)]
 
     def _prefix_key(self, cond, emb_mask, uncond: bool) -> bytes:
@@ -351,11 +355,17 @@ class ServeEngine:
                 else gpt.init_kv_cache(cfg, m, t, cache[0]["k"].dtype))
         logits, mini = gpt.prefill_forward(params, cfg, cond_emb, mini,
                                            prefill_mask, freqs_cis)
-        new_cache = [
-            {name: entry[name].at[rows, :, :t].set(
-                mrow[name].astype(entry[name].dtype))
-             for name in entry}
-            for entry, mrow in zip(cache, mini)]
+
+        def scatter(entry, mrow):
+            out = {}
+            for name in entry:
+                ax = gpt.entry_seq_axis(name, entry[name].ndim)
+                idx = [rows] + [slice(None)] * (entry[name].ndim - 1)
+                idx[ax] = slice(0, t)
+                out[name] = entry[name].at[tuple(idx)].set(
+                    mrow[name].astype(entry[name].dtype))
+            return out
+        new_cache = [scatter(e, m) for e, m in zip(cache, mini)]
         return logits, new_cache
 
     def _admit(self):
