@@ -88,11 +88,20 @@ def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4):
                                     cfg.rope_base, cfg.cls_token_num)
 
     fn = eng_mod._decode_n_multi
+
+    def window(tokens, pos, cache, r):
+        """One engine window: fused k-step decode + per-layer commit (the
+        exact steady-state online path)."""
+        toks, pos, bufs = fn(params, cfg, k, jnp.bfloat16, tokens, pos,
+                             cache, active, freqs, col_valid, cfg_scales,
+                             temps, top_ks, top_ps, r)
+        cache = [eng_mod._commit_entry(e, wb, pos - k, active)
+                 for e, wb in zip(cache, bufs)]
+        return toks, pos, cache
+
     rng = jax.random.key(0)
     t0 = time.perf_counter()
-    toks, pos, cache = fn(params, cfg, k, jnp.bfloat16, slot_tokens, pos,
-                          cache, active, freqs, col_valid, cfg_scales, temps,
-                          top_ks, top_ps, rng)
+    toks, pos, cache = window(slot_tokens, pos, cache, rng)
     np.asarray(toks)
     compile_s = time.perf_counter() - t0
 
@@ -100,9 +109,7 @@ def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4):
     for i in range(n_windows):
         rng, r = jax.random.split(rng)
         t0 = time.perf_counter()
-        toks, pos, cache = fn(params, cfg, k, jnp.bfloat16, toks[-1], pos,
-                              cache, active, freqs, col_valid, cfg_scales,
-                              temps, top_ks, top_ps, r)
+        toks, pos, cache = window(toks[-1], pos, cache, r)
         np.asarray(toks)
         times.append(time.perf_counter() - t0)
     best = min(times)
@@ -122,6 +129,10 @@ VARIANTS = {
     "D": dict(batch=32, kv_int8=False, scalar_pos=True),
     "E": dict(batch=32, kv_int8=False, scalar_pos="none"),
     "F": dict(batch=64, kv_int8=False),
+    # seq-minor int8 layout (kT/vT): the online throughput configs
+    "G": dict(batch=64, kv_int8=True),
+    "H": dict(batch=128, kv_int8=True),
+    "I": dict(batch=128, kv_int8=False),
 }
 
 if __name__ == "__main__":

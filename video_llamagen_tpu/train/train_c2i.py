@@ -68,6 +68,9 @@ def main(argv=None):
     p.add_argument("--global-seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--ckpt-every", type=int, default=5000)
+    p.add_argument("--max-keep", type=int, default=5,
+                   help="checkpoints retained (orbax max_to_keep); raise for "
+                        "FID-vs-steps sweeps that sample old steps")
     p.add_argument("--ema", action="store_true")
     p.add_argument("--mixed-precision", default="bf16", choices=["bf16", "none"])
     p.add_argument("--data", type=int, default=1, help="data mesh axis")
@@ -113,7 +116,7 @@ def main(argv=None):
     step_fn = make_train_step(cfg, tcfg, mesh, shardings)
 
     ckpt = CheckpointManager(f"{args.results_dir}/checkpoints",
-                             args.cloud_save_path)
+                             args.cloud_save_path, max_to_keep=args.max_keep)
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         logger.info(f"resumed from step {int(state.step)}")
