@@ -156,6 +156,7 @@ def stage_gpt(args):
         "--code-path", f"{ROOT}/codes", "--global-batch-size", "128",
         "--epochs", "10000", "--max-steps", str(args.steps),
         "--ckpt-every", str(args.ckpt_every), "--log-every", "50",
+        "--max-keep", "10",   # trajectory sweeps sample EVERY kept step
         "--results-dir", f"{ROOT}/{args.gpt_dir}", "--resume",
     ])
 

@@ -99,3 +99,33 @@ def test_swap_out_and_resume(params):
         for r in ref.step():
             ref_done[r.request_id] = r
     assert done[a].tokens == ref_done[ra].tokens
+
+
+def test_swap_out_and_resume_int8_kv(params):
+    """Swap round-trip over the SEQ-MINOR int8 cache: _extract_rows /
+    _insert_rows slice the seq axis LAST for kT/vT (entry_seq_axis) — a
+    layout bug here silently corrupts resumed requests' KV rows."""
+    sp = SamplingParams(max_tokens=6, cfg_scale=2.0, temperature=1e-4)
+
+    eng = ServeEngine(params, CFG, max_batch=1, dtype=jnp.float32,
+                      kv_int8=True)
+    a = eng.add_request(np.int32(4), sp)
+    done = {}
+    for _ in range(3):
+        for r in eng.step():
+            done[r.request_id] = r
+    assert eng.swap_out(a)
+    b = eng.add_request(np.int32(7), sp)
+    while eng.has_unfinished():
+        for r in eng.step():
+            done[r.request_id] = r
+    assert len(done[a].tokens) == 6 and len(done[b].tokens) == 6
+
+    ref = ServeEngine(params, CFG, max_batch=1, dtype=jnp.float32,
+                      kv_int8=True)
+    ra = ref.add_request(np.int32(4), sp)
+    ref_done = {}
+    while ref.has_unfinished():
+        for r in ref.step():
+            ref_done[r.request_id] = r
+    assert done[a].tokens == ref_done[ra].tokens
