@@ -59,6 +59,36 @@ def _commit_entry(entry, win_buf, pos0, active):
     return gpt.commit_entry(entry, win_buf, pos0, active)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_entry_rows(entry, mrow, rows):
+    """Scatter one layer's M prefilled mini-cache rows into its big cache
+    entry at batch rows `rows`. Per-layer + donated for the same reason as
+    _commit_entry: a single graph that takes AND returns the whole cache
+    reserves unaliased in+out on the axon AOT path — 2x cache HBM, which
+    alone OOMs GPT-L batch-128 int8 (2 x 8.3 GB). Here the live set beyond
+    the cache itself is one layer's entry."""
+    out = {}
+    for name in entry:
+        ax = gpt.entry_seq_axis(name, entry[name].ndim)
+        t = mrow[name].shape[ax]
+        idx = [rows] + [slice(None)] * (entry[name].ndim - 1)
+        idx[ax] = slice(0, t)
+        out[name] = entry[name].at[tuple(idx)].set(
+            mrow[name].astype(entry[name].dtype))
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_entry_rows(entry, r, slot):
+    """Write stored KV rows into one layer's cache entry at `slot`
+    (prefix-cache hits, swap-in). Per-layer + donated — see
+    _scatter_entry_rows for why whole-cache in/out graphs are banned."""
+    return {name: jax.lax.dynamic_update_slice(
+                entry[name], r[name].astype(entry[name].dtype),
+                (slot,) + (0,) * (entry[name].ndim - 1))
+            for name in entry}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "dtype",
                                              "read_bound"))
 def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
@@ -177,9 +207,11 @@ class ServeEngine:
         self.freqs_cis = precompute_freqs_2d(cfg.grid_size, cfg.head_dim,
                                              cfg.rope_base, t_cond)
         self.kv_int8 = kv_int8
-        self.cache = (
-            gpt.init_kv_cache_int8(cfg, self.rows, self.max_seq) if kv_int8
-            else gpt.init_kv_cache(cfg, self.rows, self.max_seq, self.dtype))
+        # the slot cache is allocated LAZILY on first continuous-batching use:
+        # the offline fast path (_generate_compiled) builds its own cache
+        # inside the generate graph, and at GPT-L batch-128 int8 the two
+        # together (~8 GB each) would not fit HBM.
+        self._cache = None
 
         self.queue: collections.deque[Request] = collections.deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -215,6 +247,22 @@ class ServeEngine:
         self.stats["prefix_misses"] = 0
         self._swapped: Dict[int, Any] = {}   # request_id -> host KV state
 
+    @property
+    def cache(self):
+        """Slot KV cache, allocated on first continuous-batching use (see
+        __init__ — the offline fast path never touches it)."""
+        if self._cache is None:
+            self._cache = (
+                gpt.init_kv_cache_int8(self.cfg, self.rows, self.max_seq)
+                if self.kv_int8 else
+                gpt.init_kv_cache(self.cfg, self.rows, self.max_seq,
+                                  self.dtype))
+        return self._cache
+
+    @cache.setter
+    def cache(self, value):
+        self._cache = value
+
     # ---------------------------------------------------------- prefix cache
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("t",))
@@ -229,14 +277,12 @@ class ServeEngine:
         return [{name: ex(name, a) for name, a in entry.items()}
                 for entry in cache]
 
-    @staticmethod
-    @jax.jit
-    def _insert_rows(cache, rows, slot):
-        """Write stored KV rows into `slot` across all layers."""
-        return [{name: jax.lax.dynamic_update_slice(
-                    entry[name], r[name],
-                    (slot,) + (0,) * (entry[name].ndim - 1))
-                 for name in entry} for entry, r in zip(cache, rows)]
+    def _insert_rows(self, rows, slot):
+        """Write stored KV rows into `slot` across all layers — one donated
+        per-layer dispatch each (never the whole cache through one graph)."""
+        slot = jnp.asarray(slot)
+        self.cache = [_insert_entry_rows(e, r, slot)
+                      for e, r in zip(self.cache, rows)]
 
     def _prefix_key(self, cond, emb_mask, uncond: bool) -> bytes:
         c = b"U" if uncond else np.ascontiguousarray(np.asarray(cond)).tobytes()
@@ -332,7 +378,7 @@ class ServeEngine:
         row_c, row_u = 2 * slot_id, 2 * slot_id + 1
         st = self._swapped.pop(req.request_id)
         rows = jax.tree_util.tree_map(jnp.asarray, st["rows"])
-        self.cache = self._insert_rows(self.cache, rows, jnp.asarray(row_c))
+        self._insert_rows(rows, row_c)
         self.pos[row_c], self.pos[row_u] = st["pos"]
         self.col_valid[row_c:row_u + 1] = st["col_valid"]
         self.slots[slot_id] = req
@@ -340,33 +386,23 @@ class ServeEngine:
 
     # ------------------------------------------------------------------- sched
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("cfg", "int8"))
-    def _prefill_rows_batched(params, cfg, cond_emb, prefill_mask, freqs_cis,
-                              cache, rows, int8: bool = False):
-        """Prefill M conditioning prefixes in ONE dispatch and scatter their
-        KV rows into the big cache at `rows` (vLLM batches queued prompts the
-        same way, model_runner.py:676-844; the round-1 engine issued one
-        dispatch per request — VERDICT r1 next-step #5 batched admission).
+    @functools.partial(jax.jit, static_argnames=("cfg", "int8", "dtype"))
+    def _prefill_mini(params, cfg, cond_emb, prefill_mask, freqs_cis,
+                      int8: bool = False, dtype=jnp.bfloat16):
+        """Prefill M conditioning prefixes in ONE dispatch into a small
+        (M, T)-sized mini cache (vLLM batches queued prompts the same way,
+        model_runner.py:676-844; the round-1 engine issued one dispatch per
+        request — VERDICT r1 next-step #5 batched admission). The big cache
+        never enters this graph; the engine scatters the mini rows in via
+        per-layer donated _scatter_entry_rows dispatches.
 
-        cond_emb (M, T, dim); prefill_mask (M, 1, T, T); rows (M,) int32.
-        Returns (logits (M, V), cache)."""
+        cond_emb (M, T, dim); prefill_mask (M, 1, T, T).
+        Returns (logits (M, V), mini_cache)."""
         m, t = cond_emb.shape[:2]
         mini = (gpt.init_kv_cache_int8(cfg, m, t) if int8
-                else gpt.init_kv_cache(cfg, m, t, cache[0]["k"].dtype))
-        logits, mini = gpt.prefill_forward(params, cfg, cond_emb, mini,
-                                           prefill_mask, freqs_cis)
-
-        def scatter(entry, mrow):
-            out = {}
-            for name in entry:
-                ax = gpt.entry_seq_axis(name, entry[name].ndim)
-                idx = [rows] + [slice(None)] * (entry[name].ndim - 1)
-                idx[ax] = slice(0, t)
-                out[name] = entry[name].at[tuple(idx)].set(
-                    mrow[name].astype(entry[name].dtype))
-            return out
-        new_cache = [scatter(e, m) for e, m in zip(cache, mini)]
-        return logits, new_cache
+                else gpt.init_kv_cache(cfg, m, t, dtype))
+        return gpt.prefill_forward(params, cfg, cond_emb, mini,
+                                   prefill_mask, freqs_cis)
 
     def _admit(self):
         """Fill free slots from the queue; prefill their conditioning.
@@ -396,8 +432,7 @@ class ServeEngine:
             if self.prefix_cache_size > 0 and key in self.prefix_cache:
                 rows_kv, logits = self.prefix_cache[key]
                 self.prefix_cache.move_to_end(key)
-                self.cache = self._insert_rows(self.cache, rows_kv,
-                                               jnp.asarray(row))
+                self._insert_rows(rows_kv, row)
                 self.stats["prefix_hits"] += 1
                 logits_by_row[row] = logits
             elif self.prefix_cache_size > 0 and key in pending:
@@ -453,9 +488,11 @@ class ServeEngine:
             embs = jnp.concatenate([j[2] for j in padded], axis=0)
             masks = jnp.asarray(np.stack([j[3] for j in padded]))  # (M,1,T,T)
             rows = jnp.asarray(np.array([j[1] for j in padded], np.int32))
-            logits_all, self.cache = self._prefill_rows_batched(
+            logits_all, mini = self._prefill_mini(
                 self.model_params, self.cfg, embs, masks, self.freqs_cis,
-                self.cache, rows, self.kv_int8)
+                self.kv_int8, self.dtype)
+            self.cache = [_scatter_entry_rows(e, mr, rows)
+                          for e, mr in zip(self.cache, mini)]
             filled: Dict[bytes, Any] = {}
             for i, (key, row, _, _) in enumerate(jobs):
                 logits_by_row[row] = logits_all[i:i + 1]
@@ -466,8 +503,7 @@ class ServeEngine:
                     self.prefix_cache[key] = filled[key]
             for row, key in aliases:   # second admit of a prefix this batch
                 kv_rows, logits = filled[key]
-                self.cache = self._insert_rows(self.cache, kv_rows,
-                                               jnp.asarray(row))
+                self._insert_rows(kv_rows, row)
                 logits_by_row[row] = logits
             while len(self.prefix_cache) > self.prefix_cache_size:
                 self.prefix_cache.popitem(last=False)
