@@ -212,3 +212,18 @@ def test_decode_window_matches_per_step(params):
     eng8, toks8 = run(8)
     assert toks1 == toks8
     assert eng8.stats["steps"] < eng1.stats["steps"]
+
+
+def test_offline_fast_path_never_allocates_slot_cache(params):
+    """The slot cache is lazy: the offline fast path builds its own cache
+    inside the generate graph, and at GPT-L batch-128 int8 the two (~8 GB
+    each) cannot coexist in HBM. A regression here re-OOMs bench.py."""
+    sp = SamplingParams(max_tokens=4, cfg_scale=2.0)
+    eng = ServeEngine(params, TINY, max_batch=2, dtype=jnp.float32,
+                      kv_int8=True)
+    out = eng.generate([np.int32(1), np.int32(2)], sp)   # fast path
+    assert all(len(o.tokens) == 4 for o in out)
+    assert eng._cache is None
+    # first continuous-batching use allocates it
+    out = eng.generate([np.int32(3)], sp, offline_fast_path=False)
+    assert eng._cache is not None and len(out[0].tokens) == 4
