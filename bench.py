@@ -94,10 +94,29 @@ def run_generate_bf16(cfg, batch, n_tokens, cfg_scale, on_tpu):
     return batch * n_tokens / min(times), name
 
 
+def _tpu_available(timeout_s: int = 240) -> bool:
+    """Probe TPU init in a SUBPROCESS with a timeout: when the tunnel
+    backend is down, in-process jax.devices()/default_backend() hangs
+    indefinitely — this keeps bench.py answering (CPU smoke) regardless."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() == 'tpu'"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        print(f"TPU init probe hung >{timeout_s}s (tunnel down?); "
+              "falling back to CPU smoke", file=sys.stderr)
+        return False
+
+
 def main():
     from video_llamagen_tpu.core.config import gpt_config
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _tpu_available()
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
     if on_tpu:
         try:
             tok_s, metric = run_engine_int8()
