@@ -23,7 +23,8 @@ def test_dryrun_multichip_subprocess():
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "mesh=(2, 2, 2, 1)" in out.stdout
+    assert "mesh=(2, 2, 2, 1, 1)" in out.stdout
     assert "t2v_loss=" in out.stdout
     assert "tp-decode ok" in out.stdout
+    assert "pp-train ok" in out.stdout
     assert "ring-attn ok" in out.stdout

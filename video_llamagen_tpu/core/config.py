@@ -216,9 +216,12 @@ class CausalVAEConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Logical device mesh. axes: data (pure DP), fsdp (sharded DP), tp, cp.
+    """Logical device mesh. axes: data (pure DP), fsdp (sharded DP), tp, cp,
+    pp (pipeline stages — parallel/pp.py rotation schedule).
 
-    The reference's NCCL DDP/FSDP/TP surface (SURVEY.md §2.9) maps onto these
+    The reference's NCCL DDP/FSDP/TP/PP surface (SURVEY.md §2.9; vLLM's
+    ensure_model_parallel_initialized(tensor_parallel_size,
+    pipeline_parallel_size), ref serve/worker.py:282-320) maps onto these
     axes; XLA inserts the collectives.
     """
 
@@ -226,14 +229,15 @@ class MeshConfig:
     fsdp: int = 1
     tp: int = 1
     cp: int = 1
+    pp: int = 1
 
     @property
     def axis_names(self) -> Tuple[str, ...]:
-        return ("data", "fsdp", "tp", "cp")
+        return ("data", "fsdp", "tp", "cp", "pp")
 
     @property
     def shape(self) -> Tuple[int, ...]:
-        return (self.data, self.fsdp, self.tp, self.cp)
+        return (self.data, self.fsdp, self.tp, self.cp, self.pp)
 
     @property
     def num_devices(self) -> int:

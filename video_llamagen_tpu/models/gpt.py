@@ -492,13 +492,14 @@ def _layer_params(params: Params, i: int) -> Params:
 
 
 def _decode_attn(q, ck, cv, mask, n_rep: int):
-    """q (B,1,H,D) against cache (B,KH,S,D); mask (..,1,1|B,S) bool.
+    """q (B,T,H,D) against cache (B,KH,S,D); mask (..,1,T|1,S) bool.
 
-    Natural-layout batched matvec: contraction over D reads K contiguously.
+    Natural-layout batched matvec (T=1 decode) / small matmul (T>1
+    speculative verify): contraction over D reads K contiguously.
     """
-    b, _, h, d = q.shape
+    b, t, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
-    qh = jnp.transpose(q, (0, 2, 1, 3))                       # (B,H,1,D)
+    qh = jnp.transpose(q, (0, 2, 1, 3))                       # (B,H,T,D)
     if n_rep > 1:
         ck = jnp.repeat(ck, n_rep, axis=1)
         cv = jnp.repeat(cv, n_rep, axis=1)
@@ -506,7 +507,7 @@ def _decode_attn(q, ck, cv, mask, n_rep: int):
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     attn = jnp.einsum("bhqs,bhsd->bhqd", probs.astype(cv.dtype), cv)
-    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
+    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, t, h * d)
 
 
 def _decode_attn_int8(q, entry, mask, n_rep: int):
@@ -526,7 +527,7 @@ def _decode_attn_int8(q, entry, mask, n_rep: int):
     per element on q and per prob row (tests pin logits to the bf16 cache
     within the same budget as plain int8 KV).
     """
-    b, _, h, d = q.shape
+    b, t, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
     kq, ks = entry["k"], entry["k_scale"]
     vq, vs = entry["v"], entry["v_scale"]
@@ -536,24 +537,24 @@ def _decode_attn_int8(q, entry, mask, n_rep: int):
         vq = jnp.repeat(vq, n_rep, axis=1)
         vs = jnp.repeat(vs, n_rep, axis=1)
 
-    qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,1,D)
-    q8, qs = _quantize_kv(qh)                                  # int8, (B,H,1,1)
+    qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,T,D)
+    q8, qs = _quantize_kv(qh)                                  # int8, (B,H,T,1)
     scores_i = jnp.einsum("bhqd,bhsd->bhqs", q8, kq,
                           preferred_element_type=jnp.int32)
     scores = scores_i.astype(jnp.float32)
-    scores = scores * qs.astype(jnp.float32)                   # (B,H,1,S)
+    scores = scores * qs.astype(jnp.float32)                   # (B,H,T,S)
     scores = scores * jnp.swapaxes(ks, -1, -2).astype(jnp.float32)
     scores = scores * scale
     scores = jnp.where(mask, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)                    # (B,H,1,S)
+    probs = jax.nn.softmax(scores, axis=-1)                    # (B,H,T,S)
 
     pv = probs * jnp.swapaxes(vs, -1, -2).astype(jnp.float32)  # fold v scales
-    p8, ps = _quantize_kv(pv)                                  # int8, (B,H,1,1)
+    p8, ps = _quantize_kv(pv)                                  # int8, (B,H,T,1)
     attn_i = jnp.einsum("bhqs,bhsd->bhqd", p8, vq,
                         preferred_element_type=jnp.int32)
     attn = attn_i.astype(jnp.float32) * ps.astype(jnp.float32)
     attn = attn.astype(q.dtype)
-    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
+    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, t, h * d)
 
 
 def _decode_attn_int8T(q, entry, mask, n_rep: int):
@@ -561,7 +562,7 @@ def _decode_attn_int8T(q, entry, mask, n_rep: int):
     scales (B,KH,S)); same math as _decode_attn_int8 (see its docstring),
     but q·K^T is now a true (1,D)x(D,S) matmul — contraction over K's
     sublane dim — and the s8 stream carries no lane padding."""
-    b, _, h, d = q.shape
+    b, t, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
     kq, ks = entry["kT"], entry["kT_scale"]
     vq, vs = entry["vT"], entry["vT_scale"]
@@ -571,22 +572,22 @@ def _decode_attn_int8T(q, entry, mask, n_rep: int):
         vq = jnp.repeat(vq, n_rep, axis=1)
         vs = jnp.repeat(vs, n_rep, axis=1)
 
-    qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,1,D)
-    q8, qs = _quantize_kv(qh)                                  # int8, (B,H,1,1)
+    qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,T,D)
+    q8, qs = _quantize_kv(qh)                                  # int8, (B,H,T,1)
     scores = jnp.einsum("bhqd,bhds->bhqs", q8, kq,
                         preferred_element_type=jnp.int32).astype(jnp.float32)
     scores = scores * qs.astype(jnp.float32)
     scores = scores * ks[:, :, None, :].astype(jnp.float32) * scale
     scores = jnp.where(mask, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)                    # (B,H,1,S)
+    probs = jax.nn.softmax(scores, axis=-1)                    # (B,H,T,S)
 
     pv = probs * vs[:, :, None, :].astype(jnp.float32)         # fold v scales
-    p8, ps = _quantize_kv(pv)                                  # int8, (B,H,1,1)
+    p8, ps = _quantize_kv(pv)                                  # int8, (B,H,T,1)
     attn_i = jnp.einsum("bhqs,bhds->bhqd", p8, vq,
                         preferred_element_type=jnp.int32)
     attn = attn_i.astype(jnp.float32) * ps.astype(jnp.float32)
     attn = attn.astype(q.dtype)
-    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
+    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, t, h * d)
 
 
 def prefill_forward(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
@@ -752,6 +753,80 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
+    return logits, new_cache
+
+
+def decode_block_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
+                       pos0: jnp.ndarray, cache, active: jnp.ndarray,
+                       freqs_cis: jnp.ndarray,
+                       read_bound: Optional[int] = None):
+    """Multi-token cached decode: T tokens per row in ONE forward pass.
+
+    The verify step of speculative decoding (inference/speculative.py) and
+    the general "extend by T" primitive. token_emb: (B, T, dim) embeddings of
+    tokens whose cache rows land at [pos0[b], pos0[b]+T); attention is
+    block-causal (row j sees cache cols <= pos0[b]+j, which includes the
+    block's own earlier rows — they are written before the dots). Compared to
+    T sequential decode_steps this streams the KV cache and the weights ONCE
+    for T positions — on a bandwidth-bound chip that is the entire win of
+    speculative decoding. Returns (logits (B, T, vocab), cache); inactive
+    rows keep their cache untouched and emit garbage logits.
+    """
+    b, t, _ = token_emb.shape
+    s_max = cache_seq_len(cache)
+    s_read = min(read_bound, s_max) if read_bound is not None else s_max
+    batch_ids = jnp.arange(b)
+    offs = jnp.arange(t)
+
+    # per-row, per-offset RoPE rows: (B, T, pairs, 2)
+    freqs_b = freqs_cis[pos0[:, None] + offs[None, :]]
+
+    col_ids = jnp.arange(s_read)
+    # (B, T, S): col <= pos0[b] + j
+    cols = col_ids[None, None, :] <= (pos0[:, None] + offs[None, :])[..., None]
+    mask = cols[:, None]                                        # (B,1,T,S)
+
+    n_rep = cfg.n_head // cfg.kv_heads
+    h = token_emb
+
+    def rope_b(x):
+        # x: (B, T, H, D); freqs_b broadcast over heads
+        orig = x.dtype
+        xs = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        f = freqs_b[:, :, None]                          # (B,T,1,pairs,2)
+        cos, sin = f[..., 0], f[..., 1]
+        xr, xi = xs[..., 0], xs[..., 1]
+        out = jnp.stack([xr * cos - xi * sin, xi * cos + xr * sin], axis=-1)
+        return out.reshape(x.shape).astype(orig)
+
+    new_cache = []
+    for i in range(cfg.n_layer):
+        lp = _layer_params(params, i)
+        hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        kv_size = cfg.kv_heads * cfg.head_dim
+        qkv = linear(hn, lp["attention"]["wqkv"])
+        q, k, v = jnp.split(qkv, [cfg.dim, cfg.dim + kv_size], axis=-1)
+        q = rope_b(q.reshape(b, t, cfg.n_head, cfg.head_dim))
+        k = rope_b(k.reshape(b, t, cfg.kv_heads, cfg.head_dim))
+        v = v.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+
+        entry = cache[i]
+        for j in range(t):  # T small (spec window); scatter row by row
+            entry = _cache_write_slots(entry, k[:, j], v[:, j], batch_ids,
+                                       pos0 + j, active)
+        read = _entry_window(entry, s_read if s_read < s_max else None)
+        if "kT" in entry:
+            attn = _decode_attn_int8T(q, read, mask, n_rep)
+        elif "k_scale" in entry:
+            attn = _decode_attn_int8(q, read, mask, n_rep)
+        else:
+            attn = _decode_attn(q, read["k"], read["v"], mask, n_rep)
+        h = h + linear(attn, lp["attention"]["wo"])
+        h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
+        new_cache.append(entry)
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = linear(h, params["output"]).astype(jnp.float32)
     return logits, new_cache
 
 

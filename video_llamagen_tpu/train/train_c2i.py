@@ -76,6 +76,12 @@ def main(argv=None):
     p.add_argument("--data", type=int, default=1, help="data mesh axis")
     p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis")
     p.add_argument("--tp", type=int, default=1, help="tensor mesh axis")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline stages (n_layer % pp == 0); GPipe rotation "
+                        "schedule over the pp mesh axis (parallel/pp.py)")
+    p.add_argument("--microbatches", type=int, default=None,
+                   help="pipeline microbatches (default: pp); bubble is "
+                        "(pp-1)/(microbatches+pp-1)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-remat", action="store_true",
@@ -101,19 +107,23 @@ def main(argv=None):
                        global_batch_size=args.global_batch_size,
                        global_seed=args.global_seed, ema=args.ema,
                        log_every=args.log_every, ckpt_every=args.ckpt_every)
-    mcfg = MeshConfig(data=args.data, fsdp=args.fsdp, tp=args.tp)
+    mcfg = MeshConfig(data=args.data, fsdp=args.fsdp, tp=args.tp, pp=args.pp)
     mesh = pmesh.make_mesh(mcfg)
+    microbatches = args.microbatches or args.pp
     logger.info(f"mesh {mcfg.shape} over {mcfg.num_devices} devices; "
-                f"model {args.gpt_model} seq {cfg.block_size}")
+                f"model {args.gpt_model} seq {cfg.block_size}"
+                + (f"; pp={args.pp} microbatches={microbatches}"
+                   if args.pp > 1 else ""))
 
     state = create_train_state(jax.random.key(args.global_seed), cfg, tcfg)
-    shardings = train_state_shardings(state, mesh)
+    shardings = train_state_shardings(state, mesh, pp=args.pp > 1)
     state = jax.tree_util.tree_map(lambda x, s: jax.device_put(x, s),
                                    state, shardings)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info(f"GPT parameters: {n_params / 1e6:.1f}M")
 
-    step_fn = make_train_step(cfg, tcfg, mesh, shardings)
+    step_fn = make_train_step(cfg, tcfg, mesh, shardings,
+                              pp=args.pp, microbatches=microbatches)
 
     ckpt = CheckpointManager(f"{args.results_dir}/checkpoints",
                              args.cloud_save_path, max_to_keep=args.max_keep)

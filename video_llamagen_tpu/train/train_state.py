@@ -50,9 +50,19 @@ def create_train_state(rng: jax.Array, cfg: GPTConfig, tcfg: TrainConfig) -> Tra
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema)
 
 
-def train_state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
-    """NamedShardings for every leaf: params by rule; opt-state mirrors params."""
-    p_sh = pmesh.param_shardings(state.params, mesh)
+def train_state_shardings(state: TrainState, mesh: Mesh,
+                          pp: bool = False) -> TrainState:
+    """NamedShardings for every leaf: params by rule; opt-state mirrors params.
+
+    With pp=True the stacked `layers` leaves shard their leading (layer) axis
+    over the `pp` mesh axis (stage-major; parallel/pp.py) — optimizer moments
+    and EMA inherit the same layout, so every stage's AdamW update stays local.
+    """
+    if pp:
+        from ..parallel.pp import pp_param_shardings
+        p_sh = pp_param_shardings(state.params, mesh)
+    else:
+        p_sh = pmesh.param_shardings(state.params, mesh)
 
     def opt_sharding(leaf):
         # moments have param shapes; scalars/counters replicate.
@@ -67,17 +77,33 @@ def train_state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def make_train_step(cfg: GPTConfig, tcfg: TrainConfig, mesh: Mesh,
-                    state_shardings: TrainState):
-    """Compiled c2i/t2i train step: loss -> grads -> AdamW -> (EMA)."""
+                    state_shardings: TrainState,
+                    pp: int = 1, microbatches: int = 1):
+    """Compiled c2i/t2i train step: loss -> grads -> AdamW -> (EMA).
+
+    pp > 1 runs the layer stack as a pp-stage GPipe schedule with
+    `microbatches` microbatches (parallel/pp.py) — pair with
+    train_state_shardings(..., pp=True) so stages own their layers."""
     optimizer = make_optimizer(tcfg)
     data_sh = lambda ndim: pmesh.data_sharding(mesh, ndim)
 
     def loss_fn(params, batch, rng):
-        _, loss = gpt.forward(params, cfg, batch["idx"], batch["cond"],
-                              targets=batch["targets"],
-                              valid=batch.get("valid"),
-                              mask=batch.get("mask"),
-                              rng=rng, train=True)
+        if pp > 1:
+            from ..parallel.pp import pipeline_forward
+            _, loss = pipeline_forward(params, cfg, batch["idx"], batch["cond"],
+                                       targets=batch["targets"],
+                                       valid=batch.get("valid"),
+                                       mask=batch.get("mask"),
+                                       rng=rng, train=True,
+                                       num_stages=pp,
+                                       num_microbatches=microbatches,
+                                       mesh=mesh)
+        else:
+            _, loss = gpt.forward(params, cfg, batch["idx"], batch["cond"],
+                                  targets=batch["targets"],
+                                  valid=batch.get("valid"),
+                                  mask=batch.get("mask"),
+                                  rng=rng, train=True)
         return loss
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
