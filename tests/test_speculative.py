@@ -190,6 +190,21 @@ def test_spec_greedy_int8_kv(models):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_spec_stats(models):
+    """Self-draft greedy accepts every proposal; a mismatched draft can't.
+    drafted must be K * blocks, acceptance in [0, 1]."""
+    cfg, params, dcfg, draft = models
+    cond = jnp.array([0, 3])
+    n, k = 12, 3
+    _, s = spec_generate(params, cfg, params, cfg, cond, jax.random.key(0),
+                         n, spec_k=k, sample_logits=False, return_stats=True)
+    assert int(s["drafted"]) == k * int(s["blocks"])
+    assert int(s["accepted"]) == int(s["drafted"])  # self-draft: all accepted
+    _, s2 = spec_generate(params, cfg, draft, dcfg, cond, jax.random.key(0),
+                          n, spec_k=k, sample_logits=False, return_stats=True)
+    assert 0 <= int(s2["accepted"]) < int(s2["drafted"])
+
+
 # ------------------------------------------------------------- stochastic
 
 

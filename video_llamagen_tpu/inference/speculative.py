@@ -21,8 +21,12 @@ BOTH models, and acceptance is computed on the guided+filtered distributions
 
 Cache bookkeeping: rejected draft rows are left STALE in both KV caches —
 provably harmless: the next block starts at pos' = pos + n_accepted + 1 and
-rewrites exactly [pos', pos'+K], which covers every stale row, and the
-block-causal mask never reads past the current position.
+rewrites [pos', pos'+K] in the draft loop and [pos', pos'+K] in the verify
+pass, covering every stale row, and the block-causal mask never reads past
+the current position. The one row that scheme misses is the draft cache at
+pos+K after a fully-accepted block (the target's verify writes it; the
+draft's K-step loop stops one short) — a cheap tail write in the block body
+covers it, otherwise self-draft acceptance silently drops below 1.0.
 
 Limitations (documented, not silent): per-row emb_masks (t2i padded text)
 and cfg_interval are not supported here — use generate() for those paths.
@@ -53,7 +57,8 @@ def _probs(logits, cfg_scale, temperature, top_k, top_p):
     jax.jit,
     static_argnames=("cfg", "draft_cfg", "max_new_tokens", "spec_k",
                      "cfg_scale", "temperature", "top_k", "top_p",
-                     "sample_logits", "kv_int8", "draft_kv_int8"),
+                     "sample_logits", "kv_int8", "draft_kv_int8",
+                     "return_stats"),
 )
 def spec_generate(params, cfg: GPTConfig, draft_params, draft_cfg: GPTConfig,
                   cond: jnp.ndarray, rng: jax.Array, max_new_tokens: int,
@@ -62,12 +67,17 @@ def spec_generate(params, cfg: GPTConfig, draft_params, draft_cfg: GPTConfig,
                   top_k: int = 0, top_p: float = 1.0,
                   sample_logits: bool = True,
                   kv_int8: bool = False,
-                  draft_kv_int8: bool = False) -> jnp.ndarray:
+                  draft_kv_int8: bool = False,
+                  return_stats: bool = False):
     """Generate (B, max_new_tokens) int32 tokens, draft+verify.
 
     Output-distribution-equivalent to inference/generate.generate with the
     same sampling params (bit-equal when sample_logits=False). cond: (B,)
     labels (c2i) or (B, T, caption_dim) features (t2i, full-length captions).
+    return_stats=True additionally returns {"drafted": total draft proposals
+    over active rows, "accepted": how many of them were accepted, "blocks":
+    verify passes summed over active rows} — acceptance rate = accepted /
+    drafted, the number that decides whether a draft model pays off.
     """
     assert cfg.model_type == draft_cfg.model_type
     assert cfg.vocab_size == draft_cfg.vocab_size
@@ -119,11 +129,11 @@ def spec_generate(params, cfg: GPTConfig, draft_params, draft_cfg: GPTConfig,
         return jnp.concatenate([x, x], axis=0) if use_cfg else x
 
     def cond_fn(carry):
-        _, _, _, n_out, _, _ = carry
+        n_out = carry[3]
         return jnp.min(n_out) < max_new_tokens
 
     def body_fn(carry):
-        cache_t, cache_d, cur, n_out, out, rng = carry
+        cache_t, cache_d, cur, n_out, out, rng, stats = carry
         active = n_out < max_new_tokens                       # (B,)
         active2 = dup(active)
         # cur's (unwritten) cache row position; clamped for finished rows
@@ -149,6 +159,15 @@ def spec_generate(params, cfg: GPTConfig, draft_params, draft_cfg: GPTConfig,
             drafts.append(dj)
             q_list.append(qj)
             tok_j = dj
+        # tail write: put d_{K-1}'s KV at row pos+K. Without it, an
+        # all-K-accepted block leaves that row stale in the DRAFT cache
+        # (the next block starts at pos+K+1 and never rewrites it), and the
+        # draft silently degrades — self-draft acceptance drops below 1.0
+        # (caught by tests/test_speculative.py::test_spec_stats). One cheap
+        # extra draft step; its logits are unused.
+        e = draft_params["tok_embeddings"][dup(tok_j)][:, None].astype(ddtype)
+        _, cache_d = gpt.decode_step_multi(
+            draft_params, draft_cfg, e, pos2 + K, cache_d, active2, freqs_d)
         d = jnp.stack(drafts, axis=1)                         # (B,K)
         q = jnp.stack(q_list, axis=1)                         # (B,K,V)
 
@@ -203,10 +222,19 @@ def spec_generate(params, cfg: GPTConfig, draft_params, draft_cfg: GPTConfig,
         adv = jnp.where(active, n + 1, 0)
         n_out = n_out + adv
         cur = jnp.where(active, final.astype(cur.dtype), cur)
-        return (cache_t, cache_d, cur, n_out, out, rng)
+        n_active = active.sum().astype(jnp.int32)
+        stats = stats + jnp.stack([K * n_active,
+                                   jnp.where(active, n, 0).sum()
+                                   .astype(jnp.int32),
+                                   n_active])
+        return (cache_t, cache_d, cur, n_out, out, rng, stats)
 
     n_out0 = jnp.ones((batch,), jnp.int32)
-    carry = (cache_t, cache_d, first.astype(jnp.int32), n_out0, out0, rng)
+    carry = (cache_t, cache_d, first.astype(jnp.int32), n_out0, out0, rng,
+             jnp.zeros((3,), jnp.int32))
     carry = jax.lax.while_loop(cond_fn, body_fn, carry)
-    out = carry[4]
-    return out[:, :max_new_tokens]
+    out = carry[4][:, :max_new_tokens]
+    if return_stats:
+        s = carry[6]
+        return out, {"drafted": s[0], "accepted": s[1], "blocks": s[2]}
+    return out
