@@ -27,4 +27,5 @@ def test_dryrun_multichip_subprocess():
     assert "t2v_loss=" in out.stdout
     assert "tp-decode ok" in out.stdout
     assert "pp-train ok" in out.stdout
+    assert "pp-t2v ok" in out.stdout
     assert "ring-attn ok" in out.stdout

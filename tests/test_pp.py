@@ -142,6 +142,39 @@ def test_pp_train_step_runs_and_matches_dp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)
 
 
+def test_pp_video_trunk_matches_scan():
+    """gpt_video.forward_train(pp_ctx=...) must reproduce the scan trunk for
+    every head (same rng keys; dropout off so microbatch-shaped draws can't
+    differ)."""
+    from video_llamagen_tpu.models import gpt_video
+    cfg = GPTConfig(dim=64, n_layer=4, n_head=4, vocab_size=128,
+                    block_size=16, cls_token_num=4, model_type="t2v",
+                    caption_dim=32, vae_embed_dim=4, num_frames=5,
+                    t_downsample_size=4, diffusion_batch_mul=1,
+                    dtype="float32", token_dropout_p=0.0,
+                    resid_dropout_p=0.0, ffn_dropout_p=0.0,
+                    class_dropout_prob=0.0)
+    b = 4
+    seq = cfg.grid_size ** 2 * cfg.vae_t
+    latents = jax.random.normal(jax.random.key(1), (b, seq, cfg.vae_embed_dim))
+    cond = jax.random.normal(jax.random.key(2), (b, cfg.cls_token_num,
+                                                 cfg.caption_dim))
+    mesh = pmesh.make_mesh(MeshConfig(data=2, pp=2))
+    for head in ["mse", "diff", "mask_diff", "mask_mse"]:
+        hcfg = cfg.replace(video_head=head)
+        params = gpt_video.init_video_gpt_params(jax.random.key(0), hcfg)
+        _, ref = jax.jit(lambda p, c=hcfg: gpt_video.forward_train(
+            p, c, latents, cond, jax.random.key(3)))(params)
+        psh = pp.pp_param_shardings(params, mesh)
+        params_s = jax.tree_util.tree_map(lambda x, s: jax.device_put(x, s),
+                                          params, psh)
+        _, got = jax.jit(lambda p, c=hcfg: gpt_video.forward_train(
+            p, c, latents, cond, jax.random.key(3),
+            pp_ctx=(2, 2, mesh)))(params_s)
+        np.testing.assert_allclose(float(got), float(ref), atol=1e-5,
+                                   err_msg=head)
+
+
 def test_pp_requires_divisible_layers():
     cfg = _cfg(n_layer=3)
     params = gpt.init_gpt_params(jax.random.key(0), cfg)

@@ -98,12 +98,16 @@ def trunk_forward(params: Params, cfg: GPTConfig,
                   rng: Optional[jax.Array] = None,
                   train: bool = False,
                   freqs_cis: Optional[jnp.ndarray] = None,
-                  cond_embed_precomputed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  cond_embed_precomputed: Optional[jnp.ndarray] = None,
+                  pp_ctx=None) -> jnp.ndarray:
     """cond_embed (B, 120, caption_dim) + latents (B, L', vae_dim) -> h (B, T, dim).
 
     Causal attention by default (parity with reference Attention is_causal).
     `cond_embed_precomputed` (B, T_cond, dim) skips CaptionEmbedder — used by
     the MaskGIT loop, which embeds the caption once outside the iteration.
+    `pp_ctx` = (num_stages, num_microbatches, mesh): run the layer stack as a
+    GPipe pipeline (parallel/pp.pipeline_layers) instead of the lax.scan —
+    identical math, stages sharded over the `pp` mesh axis.
     """
     dtype = jnp.dtype(cfg.dtype)
     rngs = {}
@@ -131,15 +135,22 @@ def trunk_forward(params: Params, cfg: GPTConfig,
     freqs = freqs_cis[:seq]
     # mask None -> causal handled inside the attention dispatcher (flash path)
 
-    dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.n_layer)
+    if pp_ctx is not None:
+        from ..parallel.pp import pipeline_layers
+        stages, microbatches, mesh = pp_ctx
+        h = pipeline_layers(params["layers"], cfg, h, freqs, mask, rngs,
+                            train, num_stages=stages,
+                            num_microbatches=microbatches, mesh=mesh)
+    else:
+        dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.n_layer)
 
-    def body(carry, xs):
-        layer_params, dp_rate = xs
-        return gpt.block_forward(layer_params, cfg, carry, freqs, mask,
-                                 rngs or None, train, dp_rate), None
+        def body(carry, xs):
+            layer_params, dp_rate = xs
+            return gpt.block_forward(layer_params, cfg, carry, freqs, mask,
+                                     rngs or None, train, dp_rate), None
 
-    block_fn = jax.checkpoint(body) if (cfg.remat and train) else body
-    h, _ = jax.lax.scan(block_fn, h, (params["layers"], dp_rates))
+        block_fn = jax.checkpoint(body) if (cfg.remat and train) else body
+        h, _ = jax.lax.scan(block_fn, h, (params["layers"], dp_rates))
     from ..ops.nn import rms_norm
     return rms_norm(h, params["norm"], cfg.norm_eps)
 
@@ -151,7 +162,7 @@ def trunk_forward(params: Params, cfg: GPTConfig,
 def forward_train_mse(params: Params, cfg: GPTConfig, video_latent: jnp.ndarray,
                       cond_embed: jnp.ndarray, rng: jax.Array,
                       mask: Optional[jnp.ndarray] = None,
-                      shuffle_tokens: bool = False):
+                      shuffle_tokens: bool = False, pp_ctx=None):
     """MSE next-latent prediction (ref gpt_video.py:440-447).
 
     video_latent: (B, L, vae_dim) — full latents; inputs are [:, :-1].
@@ -176,7 +187,7 @@ def forward_train_mse(params: Params, cfg: GPTConfig, video_latent: jnp.ndarray,
         freqs_cis = None
     inputs = video_latent[:, :-1]
     h = trunk_forward(params, cfg, inputs, cond_embed, mask, rng, train=True,
-                      freqs_cis=freqs_cis)
+                      freqs_cis=freqs_cis, pp_ctx=pp_ctx)
     h = _adapter(params["vae_latent_adapter2"], h)
     pred = h[:, cfg.cls_token_num - 1:]
     loss = jnp.mean((pred.astype(jnp.float32)
@@ -186,11 +197,12 @@ def forward_train_mse(params: Params, cfg: GPTConfig, video_latent: jnp.ndarray,
 
 def forward_train_diff(params: Params, cfg: GPTConfig, video_latent: jnp.ndarray,
                        cond_embed: jnp.ndarray, rng: jax.Array,
-                       mask: Optional[jnp.ndarray] = None):
+                       mask: Optional[jnp.ndarray] = None, pp_ctx=None):
     """Per-token DiffLoss, all positions (ref gpt_video_diff.py:583-658)."""
     r_trunk, r_diff = jax.random.split(rng)
     inputs = video_latent[:, :-1]
-    h = trunk_forward(params, cfg, inputs, cond_embed, mask, r_trunk, train=True)
+    h = trunk_forward(params, cfg, inputs, cond_embed, mask, r_trunk,
+                      train=True, pp_ctx=pp_ctx)
     z = h[:, cfg.cls_token_num - 1:]
     token_mask = jnp.ones(video_latent.shape[:2], jnp.float32)
     loss = _diff_loss(params, cfg, z, video_latent, token_mask, r_diff)
@@ -220,7 +232,7 @@ def sample_mask_ratio(rng: jax.Array, mask_ratio_min: float) -> jnp.ndarray:
 def forward_train_mask_diff(params: Params, cfg: GPTConfig,
                             video_latent: jnp.ndarray, cond_embed: jnp.ndarray,
                             rng: jax.Array,
-                            mask: Optional[jnp.ndarray] = None):
+                            mask: Optional[jnp.ndarray] = None, pp_ctx=None):
     """MAR masked training (ref gpt_video_mask_diff.py:595-684): a random
     subset of input latents is replaced by mask_token; DiffLoss only on the
     masked positions."""
@@ -231,7 +243,8 @@ def forward_train_mask_diff(params: Params, cfg: GPTConfig,
     mask_tok = params["mask_token"].astype(video_latent.dtype)
     inputs_full = jnp.where(token_mask[..., None] > 0, mask_tok, video_latent)
     inputs = inputs_full[:, :-1]
-    h = trunk_forward(params, cfg, inputs, cond_embed, mask, r_trunk, train=True)
+    h = trunk_forward(params, cfg, inputs, cond_embed, mask, r_trunk,
+                      train=True, pp_ctx=pp_ctx)
     z = h[:, cfg.cls_token_num - 1:]
     loss = _diff_loss(params, cfg, z, video_latent, token_mask, r_diff)
     return z, loss
@@ -253,7 +266,7 @@ def _diff_loss(params: Params, cfg: GPTConfig, z: jnp.ndarray,
 def forward_train_mask_mse(params: Params, cfg: GPTConfig,
                            video_latent: jnp.ndarray, cond_embed: jnp.ndarray,
                            rng: jax.Array,
-                           mask: Optional[jnp.ndarray] = None):
+                           mask: Optional[jnp.ndarray] = None, pp_ctx=None):
     """Masked MSE training — the intent of the reference's MISSING
     gpt_video_mask.py (train_t2v_mask.py:35 imports it; it doesn't exist
     upstream): mask-token substitution like mask_diff but with the MSE
@@ -264,7 +277,8 @@ def forward_train_mask_mse(params: Params, cfg: GPTConfig,
     token_mask = random_masking(r_mask, b, l, ratio)
     mask_tok = params["mask_token"].astype(video_latent.dtype)
     inputs = jnp.where(token_mask[..., None] > 0, mask_tok, video_latent)[:, :-1]
-    h = trunk_forward(params, cfg, inputs, cond_embed, mask, r_trunk, train=True)
+    h = trunk_forward(params, cfg, inputs, cond_embed, mask, r_trunk,
+                      train=True, pp_ctx=pp_ctx)
     h = _adapter(params["vae_latent_adapter2"], h)
     pred = h[:, cfg.cls_token_num - 1:]
     err = (pred.astype(jnp.float32) - video_latent.astype(jnp.float32)) ** 2
@@ -276,19 +290,21 @@ def forward_train_mask_mse(params: Params, cfg: GPTConfig,
 def forward_train(params: Params, cfg: GPTConfig, video_latent: jnp.ndarray,
                   cond_embed: jnp.ndarray, rng: jax.Array,
                   mask: Optional[jnp.ndarray] = None,
-                  shuffle_tokens: bool = False):
+                  shuffle_tokens: bool = False, pp_ctx=None):
     """Dispatch on cfg.video_head — the single training entry point.
     `shuffle_tokens` (mse head only) enables the reference's batch-shared
     random token-order training (gpt_video.py:374-401)."""
     if cfg.video_head == "mse":
         return forward_train_mse(params, cfg, video_latent, cond_embed, rng,
-                                 mask, shuffle_tokens=shuffle_tokens)
+                                 mask, shuffle_tokens=shuffle_tokens,
+                                 pp_ctx=pp_ctx)
     if cfg.video_head == "diff":
-        return forward_train_diff(params, cfg, video_latent, cond_embed, rng, mask)
+        return forward_train_diff(params, cfg, video_latent, cond_embed, rng,
+                                  mask, pp_ctx=pp_ctx)
     if cfg.video_head == "mask_diff":
         return forward_train_mask_diff(params, cfg, video_latent, cond_embed,
-                                       rng, mask)
+                                       rng, mask, pp_ctx=pp_ctx)
     if cfg.video_head == "mask_mse":
         return forward_train_mask_mse(params, cfg, video_latent, cond_embed,
-                                      rng, mask)
+                                      rng, mask, pp_ctx=pp_ctx)
     raise ValueError(f"unknown video_head {cfg.video_head}")

@@ -107,76 +107,41 @@ def _stage_apply(cfg: GPTConfig, stage_layers: Params, dp_rates: jnp.ndarray,
     return h
 
 
-def pipeline_forward(params: Params, cfg: GPTConfig,
-                     idx: Optional[jnp.ndarray],
-                     cond: jnp.ndarray,
-                     targets: Optional[jnp.ndarray] = None,
-                     mask: Optional[jnp.ndarray] = None,
-                     valid: Optional[jnp.ndarray] = None,
-                     rng: Optional[jax.Array] = None,
-                     train: bool = False,
-                     freqs_cis: Optional[jnp.ndarray] = None,
-                     *,
-                     num_stages: int,
-                     num_microbatches: int,
-                     mesh: Optional[Mesh] = None):
-    """Drop-in pipeline-parallel replacement for models/gpt.forward.
+def pipeline_layers(layers: Params, cfg: GPTConfig, h: jnp.ndarray,
+                    freqs: jnp.ndarray, mask: Optional[jnp.ndarray],
+                    rngs, train: bool, *,
+                    num_stages: int, num_microbatches: int,
+                    mesh: Optional[Mesh] = None) -> jnp.ndarray:
+    """GPipe-schedule the stacked block stack over already-embedded h.
 
-    Identical math (same logits/loss up to fp reassociation when dropout is
-    off — parity-tested in tests/test_pp.py); the layer stack executes as a
-    P-stage, M-microbatch GPipe schedule. Train-time block dropout draws its
-    masks at microbatch shape with the same per-kind keys as the non-PP path
-    (which already shares keys across layers), so masks are correlated across
-    microbatches — statistically equivalent regularization, not bit-identical
-    to the full-batch draw. With `mesh` given, activations and
-    stage params carry sharding constraints on the `pp` axis; without it the
-    same code runs single-device (useful for tests / P=1 degenerate case).
+    The shared scheduler behind pipeline_forward (image GPT) and
+    gpt_video.trunk_forward(pp_ctx=...) (video GPT): h (B, S, D) in, h out,
+    identical math to `lax.scan` over (L, ...) layers up to fp reassociation.
+    See the module docstring for the rotation schedule.
     """
     P_ = num_stages
     M = num_microbatches
-    dtype = jnp.dtype(cfg.dtype)
+    dtype = h.dtype
+    b, seq_len, dim = h.shape
+    assert b % M == 0, f"batch {b} % microbatches {M} != 0"
+    mb = b // M
 
     def wsc(x, spec):
         if mesh is None:
             return x
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-    rngs = {}
-    if rng is not None:
-        keys = jax.random.split(rng, 6)
-        rngs = dict(zip(["cond", "tok", "resid", "ffn", "drop_path",
-                         "drop_path2"], keys))
-
-    # ---- embeddings on the full batch (replicated over pp) -----------------
-    cond_emb = gpt.embed_cond(params, cfg, cond, rngs.get("cond"), train, dtype)
-    if idx is not None:
-        tok = params["tok_embeddings"][idx].astype(dtype)
-        h = jnp.concatenate([cond_emb, tok], axis=1)
-    else:
-        h = cond_emb
-    if train:
-        h = dropout(rngs.get("tok"), h, cfg.token_dropout_p, not train)
-
-    b, seq_len, dim = h.shape
-    assert b % M == 0, f"batch {b} % microbatches {M} != 0"
-    mb = b // M
-
-    if freqs_cis is None:
-        freqs_cis = precompute_freqs_2d(cfg.grid_size, cfg.head_dim,
-                                        cfg.rope_base, cfg.cls_token_num)
-    freqs = freqs_cis[:seq_len]
-
     dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.n_layer)
-    stage_layers = split_stages(params["layers"], P_)
+    stage_layers = split_stages(layers, P_)
     stage_rates = dp_rates.reshape(P_, cfg.n_layer // P_)
 
     embs = h.reshape(M, mb, seq_len, dim)
     embs = wsc(embs, P(None, ("data", "fsdp"), None, None))
     if mask is not None and mask.ndim >= 3 and mask.shape[0] == b and b > 1:
         # a per-sample mask would have to ride the rotation buffer with the
-        # activations; c2i/t2v training (the PP use cases) are pure-causal
+        # activations; the PP training use cases are pure-causal
         raise NotImplementedError(
-            "pipeline_forward supports mask=None or a batch-shared mask")
+            "pipeline supports mask=None or a batch-shared mask")
     mask_mb = mask  # shared mask (or None) broadcast to all microbatches
 
     buf_spec = P("pp", ("data", "fsdp"), None, None)
@@ -213,7 +178,61 @@ def pipeline_forward(params: Params, cfg: GPTConfig,
         jnp.arange(M + P_ - 1))
 
     h = outputs.reshape(b, seq_len, dim)
-    h = wsc(h, P(("data", "fsdp"), None, None))
+    return wsc(h, P(("data", "fsdp"), None, None))
+
+
+def pipeline_forward(params: Params, cfg: GPTConfig,
+                     idx: Optional[jnp.ndarray],
+                     cond: jnp.ndarray,
+                     targets: Optional[jnp.ndarray] = None,
+                     mask: Optional[jnp.ndarray] = None,
+                     valid: Optional[jnp.ndarray] = None,
+                     rng: Optional[jax.Array] = None,
+                     train: bool = False,
+                     freqs_cis: Optional[jnp.ndarray] = None,
+                     *,
+                     num_stages: int,
+                     num_microbatches: int,
+                     mesh: Optional[Mesh] = None):
+    """Drop-in pipeline-parallel replacement for models/gpt.forward.
+
+    Identical math (same logits/loss up to fp reassociation when dropout is
+    off — parity-tested in tests/test_pp.py); the layer stack executes as a
+    P-stage, M-microbatch GPipe schedule. Train-time block dropout draws its
+    masks at microbatch shape with the same per-kind keys as the non-PP path
+    (which already shares keys across layers), so masks are correlated across
+    microbatches — statistically equivalent regularization, not bit-identical
+    to the full-batch draw. With `mesh` given, activations and
+    stage params carry sharding constraints on the `pp` axis; without it the
+    same code runs single-device (useful for tests / P=1 degenerate case).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+
+    rngs = {}
+    if rng is not None:
+        keys = jax.random.split(rng, 6)
+        rngs = dict(zip(["cond", "tok", "resid", "ffn", "drop_path",
+                         "drop_path2"], keys))
+
+    # ---- embeddings on the full batch (replicated over pp) -----------------
+    cond_emb = gpt.embed_cond(params, cfg, cond, rngs.get("cond"), train, dtype)
+    if idx is not None:
+        tok = params["tok_embeddings"][idx].astype(dtype)
+        h = jnp.concatenate([cond_emb, tok], axis=1)
+    else:
+        h = cond_emb
+    if train:
+        h = dropout(rngs.get("tok"), h, cfg.token_dropout_p, not train)
+
+    seq_len = h.shape[1]
+    if freqs_cis is None:
+        freqs_cis = precompute_freqs_2d(cfg.grid_size, cfg.head_dim,
+                                        cfg.rope_base, cfg.cls_token_num)
+    freqs = freqs_cis[:seq_len]
+
+    h = pipeline_layers(params["layers"], cfg, h, freqs, mask, rngs, train,
+                        num_stages=num_stages,
+                        num_microbatches=num_microbatches, mesh=mesh)
 
     # ---- head + loss, identical to gpt.forward -----------------------------
     h = rms_norm(h, params["norm"], cfg.norm_eps)

@@ -70,6 +70,11 @@ def main(argv=None):
     p.add_argument("--data", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline stages (n_layer % pp == 0); GPipe "
+                        "rotation schedule (parallel/pp.py)")
+    p.add_argument("--microbatches", type=int, default=None,
+                   help="pipeline microbatches (default: pp)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-remat", action="store_true")
@@ -101,16 +106,20 @@ def main(argv=None):
                        global_seed=args.global_seed, ema=args.ema,
                        log_every=args.log_every, ckpt_every=args.ckpt_every)
     mesh = pmesh.make_mesh(MeshConfig(data=args.data, fsdp=args.fsdp,
-                                      tp=args.tp))
+                                      tp=args.tp, pp=args.pp))
+    microbatches = args.microbatches or args.pp
     seq_len = latent ** 2 * cfg.vae_t
-    logger.info(f"t2v {args.gpt_model} head={args.video_head} seq={seq_len}")
+    logger.info(f"t2v {args.gpt_model} head={args.video_head} seq={seq_len}"
+                + (f" pp={args.pp} microbatches={microbatches}"
+                   if args.pp > 1 else ""))
 
     state = create_video_train_state(jax.random.key(args.global_seed), cfg, tcfg)
-    shardings = video_state_shardings(state, mesh)
+    shardings = video_state_shardings(state, mesh, pp=args.pp > 1)
     state = jax.tree_util.tree_map(lambda x, s: jax.device_put(x, s),
                                    state, shardings)
     step_fn = make_video_train_step(cfg, tcfg, mesh, shardings,
-                                    shuffle_tokens=args.shuffle_tokens)
+                                    shuffle_tokens=args.shuffle_tokens,
+                                    pp=args.pp, microbatches=microbatches)
 
     ckpt = CheckpointManager(f"{args.results_dir}/checkpoints",
                              args.cloud_save_path)

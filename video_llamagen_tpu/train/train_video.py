@@ -30,9 +30,10 @@ def create_video_train_state(rng: jax.Array, cfg: GPTConfig,
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema)
 
 
-def video_state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+def video_state_shardings(state: TrainState, mesh: Mesh,
+                          pp: bool = False) -> TrainState:
     from .train_state import train_state_shardings
-    return train_state_shardings(state, mesh)
+    return train_state_shardings(state, mesh, pp=pp)
 
 
 def encode_videos(vae_params: Dict[str, Any], vae_cfg: CausalVAEConfig,
@@ -49,18 +50,23 @@ def make_video_train_step(cfg: GPTConfig, tcfg: TrainConfig, mesh: Mesh,
                           state_shardings: TrainState,
                           vae_cfg: Optional[CausalVAEConfig] = None,
                           online_encode: bool = False,
-                          shuffle_tokens: bool = False):
+                          shuffle_tokens: bool = False,
+                          pp: int = 1, microbatches: int = 1):
     """Compiled t2v step. Batch:
       online_encode: {"video": (B,T,H,W,3), "cond": (B,120,caption_dim)}
       else:          {"latents": (B,L,C),   "cond": (B,120,caption_dim)}
     vae params (frozen) are passed per-call when online_encode.
     `shuffle_tokens`: mse-head any-order training (ref gpt_video.py:374-401).
+    pp > 1 runs the trunk as a pp-stage GPipe pipeline (parallel/pp.py);
+    pair with video_state_shardings(..., pp=True).
     """
     optimizer = make_optimizer(tcfg)
+    pp_ctx = (pp, microbatches, mesh) if pp > 1 else None
 
     def loss_fn(params, latents, cond, rng):
         _, loss = gpt_video.forward_train(params, cfg, latents, cond, rng,
-                                          shuffle_tokens=shuffle_tokens)
+                                          shuffle_tokens=shuffle_tokens,
+                                          pp_ctx=pp_ctx)
         return loss
 
     def step_fn(state: TrainState, batch, rng: jax.Array,
