@@ -63,6 +63,13 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--kv-int8", action="store_true")
+    p.add_argument("--draft-model", default=None,
+                   help="draft GPT for speculative decoding "
+                        "(inference/speculative.py); output distribution is "
+                        "IDENTICAL to plain sampling — only wall time changes")
+    p.add_argument("--draft-orbax", default=None)
+    p.add_argument("--draft-step", type=int, default=None)
+    p.add_argument("--spec-k", type=int, default=4)
     p.add_argument("--out", default="samples.npz")
     p.add_argument("--save-labels", action="store_true")
     args = p.parse_args(argv)
@@ -100,6 +107,26 @@ def main(argv=None):
         print("WARNING: random VQ weights (smoke mode)")
         vparams = vq.init_vq_params(jax.random.key(1), vcfg)
 
+    draft_params = draft_cfg = None
+    if args.draft_model:
+        if args.cfg_interval > -1:
+            raise SystemExit("--draft-model does not support --cfg-interval "
+                             "(see inference/speculative.py limitations)")
+        draft_cfg = gpt_config(args.draft_model, vocab_size=16384,
+                               block_size=latent ** 2,
+                               num_classes=args.num_classes, cls_token_num=1,
+                               model_type="c2i", dtype="bfloat16")
+        if args.draft_orbax:
+            from ..core.checkpoint import load_gpt_orbax
+            draft_params = load_gpt_orbax(args.draft_orbax, draft_cfg,
+                                          step=args.draft_step, ema=args.ema)
+            print(f"speculative decoding: draft {args.draft_model} from "
+                  f"{args.draft_orbax} (K={args.spec_k})")
+        else:
+            print("WARNING: random draft weights (smoke mode)")
+            draft_params = gpt.init_gpt_params(jax.random.key(2), draft_cfg)
+        draft_params = gpt.cast_params(draft_params, jnp.bfloat16)
+
     rng = jax.random.key(args.seed)
     all_imgs, all_labels = [], []
     n_done, t0 = 0, time.time()
@@ -111,11 +138,23 @@ def main(argv=None):
         labels = (np.arange(n_done, n_done + b_run) % args.num_classes
                   ).astype(np.int32)
         rng, r = jax.random.split(rng)
-        toks = generate(params, cfg, jnp.asarray(labels), r, cfg.block_size,
-                        cfg_scale=args.cfg_scale,
-                        cfg_interval=args.cfg_interval,
-                        temperature=args.temperature, top_k=args.top_k,
-                        top_p=args.top_p, kv_int8=args.kv_int8)
+        if draft_params is not None:
+            from .speculative import spec_generate
+            toks = spec_generate(params, cfg, draft_params, draft_cfg,
+                                 jnp.asarray(labels), r, cfg.block_size,
+                                 spec_k=args.spec_k,
+                                 cfg_scale=args.cfg_scale,
+                                 temperature=args.temperature,
+                                 top_k=args.top_k, top_p=args.top_p,
+                                 kv_int8=args.kv_int8,
+                                 draft_kv_int8=args.kv_int8)
+        else:
+            toks = generate(params, cfg, jnp.asarray(labels), r,
+                            cfg.block_size,
+                            cfg_scale=args.cfg_scale,
+                            cfg_interval=args.cfg_interval,
+                            temperature=args.temperature, top_k=args.top_k,
+                            top_p=args.top_p, kv_int8=args.kv_int8)
         imgs = vq.decode_code(vparams, vcfg, toks, latent_hw=(latent, latent))
         u8 = np.asarray(jnp.clip(127.5 * imgs + 128.0, 0, 255)
                         ).astype(np.uint8)[:b]
