@@ -24,7 +24,7 @@ import numpy as np
 
 
 def build(model, max_batch, weight_int8=False, kv_int8=False,
-          decode_window=1, n_tokens=576):
+          decode_window=1, n_tokens=576, kv_int4=False):
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.serve.engine import ServeEngine
@@ -47,7 +47,7 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
     params = jax.jit(fabricate)(jax.random.key(0))
     eng = ServeEngine(params, cfg, max_batch=max_batch,
                       weight_int8=weight_int8, kv_int8=kv_int8,
-                      decode_window=decode_window)
+                      kv_int4=kv_int4, decode_window=decode_window)
     del params
     return cfg, eng
 
@@ -56,7 +56,8 @@ def bench_offline(args):
     from video_llamagen_tpu.serve.engine import SamplingParams
     out = {}
     for model in args.models:
-        cfg, eng = build(model, args.batch, args.weight_int8, args.kv_int8)
+        cfg, eng = build(model, args.batch, args.weight_int8, args.kv_int8,
+                         kv_int4=args.kv_int4)
         sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0,
                             top_k=1000)
         conds = list(range(args.batch))
@@ -69,12 +70,14 @@ def bench_offline(args):
         dt = min(times)
         rec = {"model": model, "batch": args.batch, "n_tokens": args.n_tokens,
                "weight_int8": args.weight_int8, "kv_int8": args.kv_int8,
+               "kv_int4": args.kv_int4,
                "total_s": round(dt, 3),
                "tok_s": round(args.batch * args.n_tokens / dt, 1),
                "iter_times": [round(t, 3) for t in times]}
         print(json.dumps(rec), flush=True)
         key = model + ("_w8" if args.weight_int8 else "") \
-                    + ("_kv8" if args.kv_int8 else "")
+                    + ("_kv8" if args.kv_int8 else "") \
+                    + ("_kv4" if args.kv_int4 else "")
         out[key] = rec
         del eng
     _merge("bench_serving_offline.json", out)
@@ -86,7 +89,7 @@ def bench_online(args):
     from video_llamagen_tpu.serve.engine import SamplingParams
     _, eng = build(args.models[0], args.batch, args.weight_int8,
                    args.kv_int8, decode_window=args.decode_window,
-                   n_tokens=args.n_tokens)
+                   n_tokens=args.n_tokens, kv_int4=args.kv_int4)
     sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
 
     # Warm every compiled shape the Poisson run can hit BEFORE the clock
@@ -154,10 +157,12 @@ def bench_online(args):
         print(json.dumps(rec), flush=True)
         rec["weight_int8"] = args.weight_int8
         rec["kv_int8"] = args.kv_int8
+        rec["kv_int4"] = args.kv_int4
         key = (f"{args.models[0]}_b{args.batch}_w{args.decode_window}"
                f"_r{rate}"
                + ("_w8" if args.weight_int8 else "")
-               + ("_kv8" if args.kv_int8 else ""))
+               + ("_kv8" if args.kv_int8 else "")
+               + ("_kv4" if args.kv_int4 else ""))
         _merge("bench_serving_online.json", {key: rec})
         eng.stats.update(requests_done=0, tokens_generated=0, steps=0,
                          prefix_hits=0, prefix_misses=0)
@@ -182,6 +187,9 @@ def main():
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--weight-int8", action="store_true")
     p.add_argument("--kv-int8", action="store_true")
+    p.add_argument("--kv-int4", action="store_true",
+                   help="s4 KV cache (quarter the bf16 KV stream; "
+                        "models/gpt.init_kv_cache_int4)")
     p.add_argument("--rate", type=float, default=4.0)
     p.add_argument("--rates", type=float, nargs="+", default=None,
                    help="measure several Poisson rates in ONE process "

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 
-def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4):
+def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4,
+          kv_int4=False):
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.serve import engine as eng_mod
@@ -74,7 +75,8 @@ def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4):
 
         gpt._cache_write_slots = shared_pos_write
 
-    cache = (gpt.init_kv_cache_int8(cfg, rows, s_max) if kv_int8
+    cache = (gpt.init_kv_cache_int4(cfg, rows, s_max) if kv_int4
+             else gpt.init_kv_cache_int8(cfg, rows, s_max) if kv_int8
              else gpt.init_kv_cache(cfg, rows, s_max, jnp.bfloat16))
     slot_tokens = jnp.zeros(batch, jnp.int32)
     pos = jnp.full(rows, 1, jnp.int32)
@@ -133,6 +135,10 @@ VARIANTS = {
     "G": dict(batch=64, kv_int8=True),
     "H": dict(batch=128, kv_int8=True),
     "I": dict(batch=128, kv_int8=False),
+    # s4 KV (quarter stream, models/gpt.init_kv_cache_int4): does XLA keep
+    # the s4 buffers packed through the window dots, or upcast-materialize?
+    "J": dict(batch=128, kv_int8=False, kv_int4=True),
+    "K": dict(batch=64, kv_int8=False, kv_int4=True),
 }
 
 if __name__ == "__main__":

@@ -37,3 +37,19 @@ def reference_path():
     if not reference_available():
         pytest.skip("reference repo not available")
     return REFERENCE_DIR
+
+
+def randomize_head(params, key=11, scale=0.5):
+    """Give a fresh GPT param tree a non-zero output head.
+
+    init_gpt_params zero-inits `output` (reference parity, gpt.py:302-307) —
+    so EVERY freshly-initialized model emits identically-zero logits, and any
+    test that compares logits/argmax/sampled tokens across two compute paths
+    passes VACUOUSLY (zero == zero; sampled streams depend only on the rng).
+    Tests that assert numeric parity must run through this first.
+    """
+    p = dict(params)
+    p["output"] = jax.numpy.asarray(
+        jax.random.normal(jax.random.key(key), p["output"].shape,
+                          p["output"].dtype) * scale)
+    return p

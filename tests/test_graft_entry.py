@@ -26,6 +26,7 @@ def test_dryrun_multichip_subprocess():
     assert "mesh=(2, 2, 2, 1, 1)" in out.stdout
     assert "t2v_loss=" in out.stdout
     assert "tp-decode ok" in out.stdout
+    assert "tp-spec ok" in out.stdout
     assert "pp-train ok" in out.stdout
     assert "pp-t2v ok" in out.stdout
     assert "ring-attn ok" in out.stdout

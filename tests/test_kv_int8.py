@@ -14,6 +14,7 @@ import pytest
 
 from video_llamagen_tpu.core.config import gpt_config
 from video_llamagen_tpu.models import gpt
+from conftest import randomize_head
 
 CFG = gpt_config("GPT-nano", vocab_size=256, block_size=16, num_classes=10,
                  cls_token_num=1, model_type="c2i", dtype="float32")
@@ -21,7 +22,9 @@ CFG = gpt_config("GPT-nano", vocab_size=256, block_size=16, num_classes=10,
 
 @pytest.fixture(scope="module")
 def params():
-    return gpt.init_gpt_params(jax.random.key(0), CFG)
+    # randomize_head: the zero-init head made every parity assert here
+    # vacuous (zero logits on both sides) until round 3 caught it
+    return randomize_head(gpt.init_gpt_params(jax.random.key(0), CFG))
 
 
 def _freqs():
@@ -59,9 +62,12 @@ def test_decode_matches_bf16_cache(params):
         outs[name] = (np.asarray(lg), np.asarray(lg2))
 
     for a, b_ in zip(outs["bf16"], outs["int8"]):
-        # logits are O(1); int8 KV error budget ~1e-2 absolute
-        np.testing.assert_allclose(a, b_, atol=5e-2, rtol=0.1)
-        assert np.array_equal(a.argmax(-1), b_.argmax(-1))  # greedy-stable
+        # int8 KV budget: ~0.5% of the logit scale per element, 2% worst-case
+        scale = np.abs(a).max()
+        assert np.abs(a - b_).mean() < 5e-3 * scale
+        assert np.abs(a - b_).max() < 2e-2 * scale
+        # greedy path stable up to near-ties
+        assert (a.argmax(-1) == b_.argmax(-1)).mean() >= 0.95
 
 
 def test_slot_paths_match_bf16_cache(params):
@@ -110,7 +116,7 @@ def test_inactive_slots_untouched_int8(params):
 
 def test_generate_kv_int8_tokens():
     cfg = CFG
-    params = gpt.init_gpt_params(jax.random.key(5), cfg)
+    params = randomize_head(gpt.init_gpt_params(jax.random.key(5), cfg), key=5)
     from video_llamagen_tpu.inference.generate import generate
     cond = jnp.asarray([1, 2], jnp.int32)
     toks16 = generate(params, cfg, cond, jax.random.key(6), 8,

@@ -10,6 +10,7 @@ import pytest
 from video_llamagen_tpu.core.config import gpt_config
 from video_llamagen_tpu.models import gpt
 from video_llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+from conftest import randomize_head
 
 CFG = gpt_config("GPT-nano", vocab_size=128, block_size=16, num_classes=10,
                  cls_token_num=1, model_type="c2i", dtype="float32")
@@ -17,7 +18,9 @@ CFG = gpt_config("GPT-nano", vocab_size=128, block_size=16, num_classes=10,
 
 @pytest.fixture(scope="module")
 def params():
-    return gpt.init_gpt_params(jax.random.key(0), CFG)
+    # non-zero head: with the zero-init head, token streams depend only on
+    # the rng and a corrupted KV cache would pass the bit-identity asserts
+    return randomize_head(gpt.init_gpt_params(jax.random.key(0), CFG))
 
 
 def _run(params, n_req, **eng_kw):

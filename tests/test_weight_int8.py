@@ -14,6 +14,7 @@ import pytest
 
 from video_llamagen_tpu.core.config import gpt_config
 from video_llamagen_tpu.models import gpt
+from conftest import randomize_head
 from video_llamagen_tpu.ops.quant import (QuantizedLinear, dequantize_weight,
                                           qlinear, quantize_gpt_params,
                                           quantize_weight)
@@ -41,20 +42,24 @@ def test_qlinear_matches_dense():
 
 
 def test_forward_logits_close():
-    params = gpt.init_gpt_params(jax.random.key(0), CFG)
+    params = randomize_head(gpt.init_gpt_params(jax.random.key(0), CFG))
     qparams = quantize_gpt_params(params)
     idx = jax.random.randint(jax.random.key(1), (2, 15), 0, 128)
     cond = jnp.asarray([1, 2], jnp.int32)
     lg, _ = gpt.forward(params, CFG, idx, cond)
     lgq, _ = gpt.forward(qparams, CFG, idx, cond)
-    np.testing.assert_allclose(np.asarray(lgq), np.asarray(lg), atol=5e-2,
-                               rtol=0.1)
-    assert np.array_equal(np.asarray(lg).argmax(-1), np.asarray(lgq).argmax(-1))
+    lg, lgq = np.asarray(lg), np.asarray(lgq)
+    # W8A16 budget: per-channel int8 weights through 2 blocks + head —
+    # ~1% of the logit scale mean, 5% worst-case
+    scale = np.abs(lg).max()
+    assert np.abs(lg - lgq).mean() < 1e-2 * scale
+    assert np.abs(lg - lgq).max() < 5e-2 * scale
+    assert (lg.argmax(-1) == lgq.argmax(-1)).mean() >= 0.9
 
 
 def test_generate_with_quantized_params():
     from video_llamagen_tpu.inference.generate import generate
-    params = gpt.init_gpt_params(jax.random.key(3), CFG)
+    params = randomize_head(gpt.init_gpt_params(jax.random.key(3), CFG), key=3)
     qparams = quantize_gpt_params(params)
     cond = jnp.asarray([4, 5], jnp.int32)
     t_full = generate(params, CFG, cond, jax.random.key(4), 8,

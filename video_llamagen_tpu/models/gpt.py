@@ -360,8 +360,39 @@ def init_kv_cache_int8(cfg: GPTConfig, batch: int, max_seq: int):
             for _ in range(cfg.n_layer)]
 
 
+KV_INT4_GROUP = 16  # channels per int4 scale group (D=64 -> 4 groups)
+
+
+def init_kv_cache_int4(cfg: GPTConfig, batch: int, max_seq: int):
+    """int4 KV cache, seq-minor like int8 but s4 elements — XLA packs s4
+    two-per-byte on TPU, so the KV stream QUARTERS vs bf16.
+
+    Quarter-byte quantization needs finer scales than int8's per-token amax:
+    K gets per-token per-GROUP scales ((B, KH, G, S), G = D/KV_INT4_GROUP)
+    so an outlier channel only poisons its own 16-channel group (the KIVI/
+    KVQuant finding that K error is channel-structured); V keeps per-token
+    scales (V tolerates 4-bit per-token, same literature). Score noise is
+    ~1/14 relative per element (vs ~1/254 for int8) — tests pin the logits
+    budget and the serving ladder measures the FID cost. Projection from the
+    measured batch-128 ladder (bf16 8154 -> int8 12404 tok/s => KV ~2/3 of
+    the decode stream): int4 lands ~16k tok/s if the s4 dots stream packed.
+    The TPU analog of vLLM's 4-bit KV quantization work.
+    """
+    g = cfg.head_dim // KV_INT4_GROUP
+    shape = (batch, cfg.kv_heads, cfg.head_dim, max_seq)
+    return [{"kT4": jnp.zeros(shape, jnp.int4),
+             "kT4_scale": jnp.zeros((batch, cfg.kv_heads, g, max_seq),
+                                    jnp.bfloat16),
+             "vT4": jnp.zeros(shape, jnp.int4),
+             "vT4_scale": jnp.zeros((batch, cfg.kv_heads, max_seq),
+                                    jnp.bfloat16)}
+            for _ in range(cfg.n_layer)]
+
+
 def cache_seq_len(cache) -> int:
     e = cache[0]
+    if "kT4" in e:
+        return e["kT4"].shape[3]
     return e["kT"].shape[3] if "kT" in e else e["k"].shape[2]
 
 
@@ -381,6 +412,29 @@ def _quantize_kv(x: jnp.ndarray):
     return q, scale
 
 
+def _quantize_kv4(x: jnp.ndarray):
+    """Symmetric per-group int4: x (..., D) -> (s4 (..., D), scale (..., G))
+    with G = D / KV_INT4_GROUP groups along the channel axis."""
+    xf = x.astype(jnp.float32)
+    d = x.shape[-1]
+    g = d // KV_INT4_GROUP
+    xg = xf.reshape(*x.shape[:-1], g, KV_INT4_GROUP)
+    amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 7.0
+    q = jnp.clip(jnp.round(xg / scale), -7, 7).astype(jnp.int4)
+    return q.reshape(x.shape), scale[..., 0]
+
+
+def _quantize_kv4_pertoken(x: jnp.ndarray):
+    """Symmetric per-row int4 (the V side of the int4 cache):
+    x (..., D) -> (s4 (..., D), scale (..., 1))."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 7.0
+    q = jnp.clip(jnp.round(xf / scale), -7, 7).astype(jnp.int4)
+    return q, scale
+
+
 def _entry_window(entry, window: Optional[int]):
     """Static read-window slice of a cache entry along the seq axis.
 
@@ -390,8 +444,9 @@ def _entry_window(entry, window: Optional[int]):
     ms/row is KV traffic), so reading only a prefix window that covers the
     current position cuts the dominant term. Callers pick a static `window`
     per scan segment (inference/generate.py ramps it across chunks)."""
-    if "kT" in entry:
-        if window is None or window >= entry["kT"].shape[3]:
+    if "kT" in entry or "kT4" in entry:
+        key = "kT" if "kT" in entry else "kT4"
+        if window is None or window >= entry[key].shape[3]:
             return entry
         return {name: x[..., :window] for name, x in entry.items()}
     if window is None or window >= entry["k"].shape[2]:
@@ -403,6 +458,16 @@ def entry_kv(entry):
     """Read a cache entry as attend-able (B,KH,S,D) bf16 K/V, dequantizing
     and/or un-transposing as needed (tests + debug; the hot paths read the
     native layout directly)."""
+    if "kT4" in entry:
+        b, kh, d, s = entry["kT4"].shape
+        g = d // KV_INT4_GROUP
+        kv = jnp.swapaxes(entry["kT4"], 2, 3).astype(jnp.float32)  # (B,KH,S,D)
+        ks = jnp.swapaxes(entry["kT4_scale"], 2, 3).astype(jnp.float32)
+        ck = (kv.reshape(b, kh, s, g, KV_INT4_GROUP)
+              * ks[..., None]).reshape(b, kh, s, d).astype(jnp.bfloat16)
+        cv = (jnp.swapaxes(entry["vT4"], 2, 3).astype(jnp.bfloat16)
+              * entry["vT4_scale"].astype(jnp.bfloat16)[..., None])
+        return ck, cv
     if "kT" in entry:
         ck = jnp.swapaxes(entry["kT"], 2, 3).astype(jnp.bfloat16) \
             * entry["kT_scale"].astype(jnp.bfloat16)[..., None]
@@ -423,6 +488,18 @@ def _cache_write(entry, k_r: jnp.ndarray, v_r: jnp.ndarray, batch_off,
     """Contiguous write of rows k_r/v_r (B', KH, T, D) at [batch_off ...,
     seq_off:seq_off+T] (layout-aware)."""
     dus = jax.lax.dynamic_update_slice
+    if "kT4" in entry:
+        kq, ks = _quantize_kv4(k_r)                    # (B,KH,T,D),(B,KH,T,G)
+        vq, vs = _quantize_kv4_pertoken(v_r)           # (B,KH,T,D),(B,KH,T,1)
+        sd = entry["kT4_scale"].dtype
+        return {"kT4": dus(entry["kT4"], jnp.swapaxes(kq, 2, 3),
+                           (batch_off, 0, 0, seq_off)),
+                "kT4_scale": dus(entry["kT4_scale"], jnp.swapaxes(
+                    ks, 2, 3).astype(sd), (batch_off, 0, 0, seq_off)),
+                "vT4": dus(entry["vT4"], jnp.swapaxes(vq, 2, 3),
+                           (batch_off, 0, 0, seq_off)),
+                "vT4_scale": dus(entry["vT4_scale"], vs[..., 0].astype(sd),
+                                 (batch_off, 0, seq_off))}
     if "kT" in entry:
         kq, ks = _quantize_kv(k_r)                     # (B,KH,T,D),(B,KH,T,1)
         vq, vs = _quantize_kv(v_r)
@@ -456,6 +533,21 @@ def _cache_write_slots(entry, k_new: jnp.ndarray, v_new: jnp.ndarray,
     k_new/v_new: (B, KH, D)."""
     gate = active[:, None, None]
     out = dict(entry)
+    if "kT4" in entry:
+        sd = entry["kT4_scale"].dtype
+        kq, ks = _quantize_kv4(k_new)                    # (B,KH,D),(B,KH,G)
+        kq = jnp.where(gate, kq, entry["kT4"][batch_ids, :, :, pos])
+        ks2 = jnp.where(gate, ks.astype(sd),
+                        entry["kT4_scale"][batch_ids, :, :, pos])
+        out["kT4"] = entry["kT4"].at[batch_ids, :, :, pos].set(kq)
+        out["kT4_scale"] = entry["kT4_scale"].at[batch_ids, :, :, pos].set(ks2)
+        vq, vs = _quantize_kv4_pertoken(v_new)           # (B,KH,D),(B,KH,1)
+        vq = jnp.where(gate, vq, entry["vT4"][batch_ids, :, :, pos])
+        vs2 = jnp.where(active[:, None], vs[..., 0].astype(sd),
+                        entry["vT4_scale"][batch_ids, :, pos])
+        out["vT4"] = entry["vT4"].at[batch_ids, :, :, pos].set(vq)
+        out["vT4_scale"] = entry["vT4_scale"].at[batch_ids, :, pos].set(vs2)
+        return out
     if "kT" in entry:
         sd = entry["kT_scale"].dtype
         for name, x in (("kT", k_new), ("vT", v_new)):
@@ -590,6 +682,52 @@ def _decode_attn_int8T(q, entry, mask, n_rep: int):
     return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, t, h * d)
 
 
+def _decode_attn_int4T(q, entry, mask, n_rep: int):
+    """Fused int4 decode attention over the seq-minor s4 cache
+    (kT4 (B,KH,D,S) + per-group scales (B,KH,G,S); vT4 + per-token scales).
+
+    Same structure as _decode_attn_int8T — quantize the tiny side of each
+    dot, keep the big side sub-byte so the HBM stream is the packed s4
+    bytes. q·K^T runs as G grouped s8 x s4 dots (one per scale group) so the
+    per-group K scales factor out of the integer accumulation exactly:
+      scores = sum_g qs_g * ks_g * dot_int(q8_g, K4_g).
+    The V dot folds the per-token V scales into the prob rows first, exactly
+    like int8.
+    """
+    b, t, h, d = q.shape
+    g = d // KV_INT4_GROUP
+    scale = 1.0 / (d ** 0.5)
+    kq, ks = entry["kT4"], entry["kT4_scale"]          # (B,KH,D,S),(B,KH,G,S)
+    vq, vs = entry["vT4"], entry["vT4_scale"]          # (B,KH,D,S),(B,KH,S)
+    if n_rep > 1:
+        kq = jnp.repeat(kq, n_rep, axis=1)
+        ks = jnp.repeat(ks, n_rep, axis=1)
+        vq = jnp.repeat(vq, n_rep, axis=1)
+        vs = jnp.repeat(vs, n_rep, axis=1)
+    s = kq.shape[-1]
+
+    qh = jnp.transpose(q, (0, 2, 1, 3))                # (B,H,T,D)
+    # per-group int8 q so each group's (q scale * k scale) is a scalar factor
+    q8, qs = _quantize_kv(qh.reshape(b, h, t, g, KV_INT4_GROUP))
+    # (B,H,T,G,c) s8  x  (B,H,G,c,S) s4  ->  (B,H,G,T,S) s32
+    k4 = kq.reshape(b, h, g, KV_INT4_GROUP, s)
+    si = jnp.einsum("bhtgc,bhgcs->bhgts", q8, k4,
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+    si = si * jnp.moveaxis(qs[..., 0], 3, 2)[..., None]      # (B,H,G,T,1)
+    si = si * ks[:, :, :, None, :].astype(jnp.float32)       # (B,H,G,1,S)
+    scores = si.sum(axis=2) * scale                          # (B,H,T,S)
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    pv = probs * vs[:, :, None, :].astype(jnp.float32)       # fold v scales
+    p8, ps = _quantize_kv(pv)                                # s8, (B,H,T,1)
+    attn_i = jnp.einsum("bhqs,bhds->bhqd", p8, vq,
+                        preferred_element_type=jnp.int32)
+    attn = attn_i.astype(jnp.float32) * ps.astype(jnp.float32)
+    attn = attn.astype(q.dtype)
+    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, t, h * d)
+
+
 def prefill_forward(params: Params, cfg: GPTConfig, cond_emb: jnp.ndarray,
                     cache, prefill_mask: Optional[jnp.ndarray],
                     freqs_cis: jnp.ndarray):
@@ -665,7 +803,9 @@ def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
         v_row = jnp.transpose(v, (0, 2, 1, 3))
         entry = _cache_write(cache[i], k_row, v_row, 0, pos)
         read = _entry_window(entry, window)
-        if "kT" in entry:
+        if "kT4" in entry:
+            attn = _decode_attn_int4T(q, read, mask, n_rep)
+        elif "kT" in entry:
             attn = _decode_attn_int8T(q, read, mask, n_rep)
         elif "k_scale" in entry:
             attn = _decode_attn_int8(q, read, mask, n_rep)
@@ -741,7 +881,9 @@ def decode_step_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
         entry = _cache_write_slots(cache[i], k[:, 0], v[:, 0], batch_ids,
                                    pos, active)
         read = _entry_window(entry, s_read if s_read < s_max else None)
-        if "kT" in entry:
+        if "kT4" in entry:
+            attn = _decode_attn_int4T(q, read, mask, n_rep)
+        elif "kT" in entry:
             attn = _decode_attn_int8T(q, read, mask, n_rep)
         elif "k_scale" in entry:
             attn = _decode_attn_int8(q, read, mask, n_rep)
@@ -815,7 +957,9 @@ def decode_block_multi(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
             entry = _cache_write_slots(entry, k[:, j], v[:, j], batch_ids,
                                        pos0 + j, active)
         read = _entry_window(entry, s_read if s_read < s_max else None)
-        if "kT" in entry:
+        if "kT4" in entry:
+            attn = _decode_attn_int4T(q, read, mask, n_rep)
+        elif "kT" in entry:
             attn = _decode_attn_int8T(q, read, mask, n_rep)
         elif "k_scale" in entry:
             attn = _decode_attn_int8(q, read, mask, n_rep)
@@ -884,6 +1028,23 @@ def init_window_bufs(cfg: GPTConfig, batch: int, k: int, dtype,
 def _source_scores(qh, q8qs, entry, mask, scale, n_rep: int):
     """Masked pre-softmax scores for one attention source (bf16 or int8;
     the big cache may be seq-minor int8, window buffers are seq-major)."""
+    if "kT4" in entry:
+        kq, ks = entry["kT4"], entry["kT4_scale"]
+        if n_rep > 1:
+            kq = jnp.repeat(kq, n_rep, axis=1)
+            ks = jnp.repeat(ks, n_rep, axis=1)
+        q8, qs = q8qs                                  # (B,H,T,D),(B,H,T,1)
+        b, h, t, d = q8.shape
+        g = d // KV_INT4_GROUP
+        s_len = kq.shape[-1]
+        # grouped s8 x s4 dots so the per-group K scales factor out exactly
+        si = jnp.einsum("bhtgc,bhgcs->bhgts",
+                        q8.reshape(b, h, t, g, KV_INT4_GROUP),
+                        kq.reshape(b, h, g, KV_INT4_GROUP, s_len),
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+        si = si * ks[:, :, :, None, :].astype(jnp.float32)
+        s = si.sum(axis=2) * qs.astype(jnp.float32) * scale
+        return jnp.where(mask, s, -jnp.inf)
     if "kT" in entry:
         kq, ks = entry["kT"], entry["kT_scale"]
         if n_rep > 1:
@@ -915,6 +1076,16 @@ def _source_scores(qh, q8qs, entry, mask, scale, n_rep: int):
 
 def _source_attn(probs, entry, n_rep: int):
     """probs (B,H,1,S) x one source's V (bf16 or fused-int8, either layout)."""
+    if "vT4" in entry:
+        vq, vs = entry["vT4"], entry["vT4_scale"]
+        if n_rep > 1:
+            vq = jnp.repeat(vq, n_rep, axis=1)
+            vs = jnp.repeat(vs, n_rep, axis=1)
+        pv = probs * vs[:, :, None, :].astype(jnp.float32)
+        p8, ps = _quantize_kv(pv)
+        a = jnp.einsum("bhqs,bhds->bhqd", p8, vq,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        return a * ps.astype(jnp.float32)
     if "vT" in entry:
         vq, vs = entry["vT"], entry["vT_scale"]
         if n_rep > 1:
@@ -952,7 +1123,7 @@ def _attn_two_source(q, read, big_mask, win, win_mask, n_rep: int):
     scale = 1.0 / (d ** 0.5)
     qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,1,D)
     q8qs = _quantize_kv(qh) if ("k_scale" in read or "kT" in read
-                                or "k_scale" in win) else None
+                                or "kT4" in read or "k_scale" in win) else None
     sb = _source_scores(qh, q8qs, read, big_mask, scale, n_rep)
     sw = _source_scores(qh, q8qs, win, win_mask, scale, n_rep)
     probs = jax.nn.softmax(jnp.concatenate([sb, sw], axis=-1), axis=-1)
@@ -1038,6 +1209,32 @@ def commit_entry(entry, win_buf, pos0: jnp.ndarray, active: jnp.ndarray):
     idx = pos0[:, None] + jnp.arange(k_win)[None, :]             # (B,k)
     gate = active[:, None, None, None]
     e = dict(entry)
+    if "kT4" in entry:
+        # window buffers are int8 (quantized at write); the commit
+        # re-quantizes to s4 + group scales — the int4 error dominates the
+        # int8 round-trip, so this matches the per-token write path within
+        # the int4 budget (pinned by tests/test_int4.py)
+        kf = win_buf["k"].astype(jnp.float32) \
+            * win_buf["k_scale"].astype(jnp.float32)     # (B,KH,k,D)
+        vf = win_buf["v"].astype(jnp.float32) \
+            * win_buf["v_scale"].astype(jnp.float32)
+        kq, ksc = _quantize_kv4(kf)                      # s4, (B,KH,k,G)
+        vq, vsc = _quantize_kv4_pertoken(vf)             # s4, (B,KH,k,1)
+        sd = e["kT4_scale"].dtype
+        for cname, val4, sc in (("kT4", kq, ksc), ("vT4", vq, None)):
+            val = jnp.transpose(val4, (0, 2, 1, 3))      # (B,k,KH,D)
+            old = e[cname][batch_ids, :, :, idx]
+            val = jnp.where(gate, val, old)
+            e[cname] = e[cname].at[batch_ids, :, :, idx].set(val)
+        sval = jnp.transpose(ksc, (0, 2, 1, 3)).astype(sd)  # (B,k,KH,G)
+        sold = e["kT4_scale"][batch_ids, :, :, idx]
+        sval = jnp.where(gate, sval, sold)
+        e["kT4_scale"] = e["kT4_scale"].at[batch_ids, :, :, idx].set(sval)
+        vsval = jnp.transpose(vsc[..., 0], (0, 2, 1)).astype(sd)  # (B,k,KH)
+        vsold = e["vT4_scale"][batch_ids, :, idx]
+        vsval = jnp.where(gate[..., 0], vsval, vsold)
+        e["vT4_scale"] = e["vT4_scale"].at[batch_ids, :, idx].set(vsval)
+        return e
     if "kT" in entry:
         # window buffers stay seq-major (B,KH,k,D)+(B,KH,k,1); scatter into
         # the seq-minor cache at [b, :, :, pos0[b]+j] / [b, :, pos0[b]+j]

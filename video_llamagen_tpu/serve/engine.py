@@ -115,7 +115,7 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     """
     rows = active.shape[0]
     reads, big_mask = gpt.window_sources(cache, pos, col_valid, read_bound)
-    int8 = "kT" in cache[0]
+    int8 = "kT" in cache[0] or "kT4" in cache[0]  # quantized window bufs
     buf_dtype = dtype if int8 else cache[0]["k"].dtype
     win_bufs = gpt.init_window_bufs(cfg, rows, k, buf_dtype, int8=int8)
 
@@ -172,13 +172,16 @@ class ServeEngine:
 
     def __init__(self, params, cfg: GPTConfig, max_batch: int = 8,
                  max_seq: Optional[int] = None, dtype=None, mesh=None,
-                 kv_int8: bool = False, weight_int8: bool = False,
+                 kv_int8: bool = False, kv_int4: bool = False,
+                 weight_int8: bool = False,
                  prefix_cache_size: int = 32, decode_window: int = 1):
         """`mesh`: optional jax Mesh — params are laid out by the tp/fsdp
         sharding rules (parallel/mesh.py) and the compiled prefill/decode
         steps run SPMD over it (the vLLM tensor_parallel_size analog).
         `kv_int8`: store the KV cache as per-token int8 — half the HBM, so
         2x the slots/context at fixed memory (vLLM kv_cache_dtype analog).
+        `kv_int4`: s4 KV with per-group K scales — QUARTER the bf16 KV
+        stream (models/gpt.init_kv_cache_int4 has the accuracy story).
         `decode_window`: max decode steps fused into one dispatch between
         host syncs (power-of-2-bucketed; 1 = sync every token). Large windows
         amortize host round-trips — essential over a network-attached chip."""
@@ -207,6 +210,9 @@ class ServeEngine:
         self.freqs_cis = precompute_freqs_2d(cfg.grid_size, cfg.head_dim,
                                              cfg.rope_base, t_cond)
         self.kv_int8 = kv_int8
+        self.kv_int4 = kv_int4
+        assert not (kv_int8 and kv_int4), "pick one KV quantization"
+
         # the slot cache is allocated LAZILY on first continuous-batching use:
         # the offline fast path (_generate_compiled) builds its own cache
         # inside the generate graph, and at GPT-L batch-128 int8 the two
@@ -253,6 +259,8 @@ class ServeEngine:
         __init__ — the offline fast path never touches it)."""
         if self._cache is None:
             self._cache = (
+                gpt.init_kv_cache_int4(self.cfg, self.rows, self.max_seq)
+                if self.kv_int4 else
                 gpt.init_kv_cache_int8(self.cfg, self.rows, self.max_seq)
                 if self.kv_int8 else
                 gpt.init_kv_cache(self.cfg, self.rows, self.max_seq,
@@ -329,7 +337,8 @@ class ServeEngine:
         seqs = np.asarray(compiled_generate(
             self.model_params, self.cfg, cond, r, sp.max_tokens,
             cfg_scale=sp.cfg_scale, temperature=sp.temperature,
-            top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8))
+            top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8,
+            kv_int4=self.kv_int4))
         out = []
         now = time.monotonic()
         for c, seq in zip(conds, seqs):
@@ -386,9 +395,11 @@ class ServeEngine:
 
     # ------------------------------------------------------------------- sched
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("cfg", "int8", "dtype"))
+    @functools.partial(jax.jit, static_argnames=("cfg", "int8", "int4",
+                                                  "dtype"))
     def _prefill_mini(params, cfg, cond_emb, prefill_mask, freqs_cis,
-                      int8: bool = False, dtype=jnp.bfloat16):
+                      int8: bool = False, int4: bool = False,
+                      dtype=jnp.bfloat16):
         """Prefill M conditioning prefixes in ONE dispatch into a small
         (M, T)-sized mini cache (vLLM batches queued prompts the same way,
         model_runner.py:676-844; the round-1 engine issued one dispatch per
@@ -399,7 +410,8 @@ class ServeEngine:
         cond_emb (M, T, dim); prefill_mask (M, 1, T, T).
         Returns (logits (M, V), mini_cache)."""
         m, t = cond_emb.shape[:2]
-        mini = (gpt.init_kv_cache_int8(cfg, m, t) if int8
+        mini = (gpt.init_kv_cache_int4(cfg, m, t) if int4
+                else gpt.init_kv_cache_int8(cfg, m, t) if int8
                 else gpt.init_kv_cache(cfg, m, t, dtype))
         return gpt.prefill_forward(params, cfg, cond_emb, mini,
                                    prefill_mask, freqs_cis)
@@ -490,7 +502,7 @@ class ServeEngine:
             rows = jnp.asarray(np.array([j[1] for j in padded], np.int32))
             logits_all, mini = self._prefill_mini(
                 self.model_params, self.cfg, embs, masks, self.freqs_cis,
-                self.kv_int8, self.dtype)
+                self.kv_int8, self.kv_int4, self.dtype)
             self.cache = [_scatter_entry_rows(e, mr, rows)
                           for e, mr in zip(self.cache, mini)]
             filled: Dict[bytes, Any] = {}
