@@ -24,7 +24,8 @@ import numpy as np
 
 
 def build(model, max_batch, weight_int8=False, kv_int8=False,
-          decode_window=1, n_tokens=576, kv_int4=False):
+          decode_window=1, n_tokens=576, kv_int4=False, draft_model=None,
+          spec_k=4):
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.serve.engine import ServeEngine
@@ -45,10 +46,21 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
         return p
 
     params = jax.jit(fabricate)(jax.random.key(0))
+    draft_params = draft_cfg = None
+    if draft_model:
+        draft_cfg = gpt_config(draft_model, vocab_size=16384,
+                               block_size=n_tokens, num_classes=1000,
+                               cls_token_num=1, model_type="c2i",
+                               dtype="bfloat16")
+        draft_params = jax.jit(lambda k: gpt.cast_params(
+            gpt.init_gpt_params(k, draft_cfg), jnp.bfloat16))(
+                jax.random.key(1))
     eng = ServeEngine(params, cfg, max_batch=max_batch,
                       weight_int8=weight_int8, kv_int8=kv_int8,
-                      kv_int4=kv_int4, decode_window=decode_window)
-    del params
+                      kv_int4=kv_int4, decode_window=decode_window,
+                      draft_params=draft_params, draft_cfg=draft_cfg,
+                      spec_k=spec_k)
+    del params, draft_params
     return cfg, eng
 
 
@@ -57,7 +69,8 @@ def bench_offline(args):
     out = {}
     for model in args.models:
         cfg, eng = build(model, args.batch, args.weight_int8, args.kv_int8,
-                         kv_int4=args.kv_int4)
+                         kv_int4=args.kv_int4, draft_model=args.draft_model,
+                         spec_k=args.spec_k)
         sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0,
                             top_k=1000)
         conds = list(range(args.batch))
@@ -89,7 +102,8 @@ def bench_online(args):
     from video_llamagen_tpu.serve.engine import SamplingParams
     _, eng = build(args.models[0], args.batch, args.weight_int8,
                    args.kv_int8, decode_window=args.decode_window,
-                   n_tokens=args.n_tokens, kv_int4=args.kv_int4)
+                   n_tokens=args.n_tokens, kv_int4=args.kv_int4,
+                   draft_model=args.draft_model, spec_k=args.spec_k)
     sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
 
     # Warm every compiled shape the Poisson run can hit BEFORE the clock
@@ -187,6 +201,11 @@ def main():
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--weight-int8", action="store_true")
     p.add_argument("--kv-int8", action="store_true")
+    p.add_argument("--draft-model", default=None,
+                   help="enable speculative serving with this draft GPT "
+                        "(random weights; real acceptance needs trained "
+                        "pairs -> scripts/bench_spec.py trained)")
+    p.add_argument("--spec-k", type=int, default=4)
     p.add_argument("--kv-int4", action="store_true",
                    help="s4 KV cache (quarter the bf16 KV stream; "
                         "models/gpt.init_kv_cache_int4)")

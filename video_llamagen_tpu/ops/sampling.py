@@ -72,15 +72,15 @@ def logits_to_probs(logits: jnp.ndarray, temperature: float = 1.0,
     return jax.nn.softmax(logits, axis=-1)
 
 
-def sample_token_batched(rng: jax.Array, logits: jnp.ndarray,
-                         temperature: jnp.ndarray, top_k: jnp.ndarray,
-                         top_p: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized sampling with PER-ROW parameters (serving hot path).
+def filtered_logits_batched(logits: jnp.ndarray, temperature: jnp.ndarray,
+                            top_k: jnp.ndarray,
+                            top_p: jnp.ndarray) -> jnp.ndarray:
+    """Temperature + per-row top-k/top-p filtering, vectorized over rows.
 
     logits (B, V); temperature/top_k/top_p each (B,). top_k<=0 disables
-    top-k for that row; top_p>=1 disables nucleus. One traced program
-    regardless of the parameter mix — the engine calls this once per step
-    for the whole batch (vLLM's triton sampler analog).
+    top-k for that row; top_p>=1 disables nucleus. Returns the filtered
+    (B, V) f32 logits — softmax of these IS the row's sampling distribution
+    (speculative serving computes acceptance probabilities from it).
     """
     b, v = logits.shape
     logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)[:, None]
@@ -100,7 +100,18 @@ def sample_token_batched(rng: jax.Array, logits: jnp.ndarray,
     inv = jnp.argsort(sort_idx, axis=-1)
     keep_p = ~jnp.take_along_axis(remove_sorted, inv, axis=-1)
 
-    filtered = jnp.where(keep_k & keep_p, logits, NEG_INF)
+    return jnp.where(keep_k & keep_p, logits, NEG_INF)
+
+
+def sample_token_batched(rng: jax.Array, logits: jnp.ndarray,
+                         temperature: jnp.ndarray, top_k: jnp.ndarray,
+                         top_p: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized sampling with PER-ROW parameters (serving hot path).
+
+    One traced program regardless of the parameter mix — the engine calls
+    this once per step for the whole batch (vLLM's triton sampler analog).
+    """
+    filtered = filtered_logits_batched(logits, temperature, top_k, top_p)
     return jax.random.categorical(rng, filtered, axis=-1)
 
 

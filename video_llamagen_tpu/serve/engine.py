@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ..core.config import GPTConfig
 from ..core.rope import precompute_freqs_2d
 from ..models import gpt
-from ..ops.sampling import sample_token, sample_token_batched, cfg_mix
+from ..ops.sampling import (sample_token, sample_token_batched, cfg_mix,
+                            filtered_logits_batched)
 
 
 def _mix_and_sample_fn(logits_rows, cfg_scales, temps, top_ks, top_ps, rng):
@@ -140,6 +141,100 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     return toks, pos + k * active.astype(pos.dtype), win_bufs
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "dtype",
+                                              "ddtype", "read_bound"))
+def _spec_block_multi(params, draft_params, cfg, draft_cfg, k: int, dtype,
+                      ddtype, slot_tokens, pos, cache, draft_cache, active,
+                      freqs_cis, draft_freqs, cfg_scales, temps, top_ks,
+                      top_ps, rng, read_bound=None):
+    """One speculative block for the continuous-batching engine: the draft
+    proposes k tokens per slot (k cached steps + tail write), the target
+    scores all k+1 positions in ONE decode_block_multi pass, and standard
+    rejection sampling emits 1..k+1 tokens per slot — exactly
+    target-distributed (inference/speculative.py has the math; this variant
+    adds PER-REQUEST sampling params via filtered_logits_batched).
+
+    slot_tokens (B,) last sampled token per slot; pos (2B,) per-row cache
+    positions; active (2B,). Returns (tokens (B, k+1), n_accepted (B,),
+    cache, draft_cache, rng). Inactive slots emit garbage and advance 0.
+
+    Memory note: unlike the frozen-window path this graph takes AND returns
+    both caches (the axon AOT path reserves unaliased in+out, ~2x cache
+    HBM) — speculative serving is the LATENCY mode, sized for small batches
+    where that is cheap; high-occupancy throughput serving stays on the
+    window path.
+    """
+    batch = slot_tokens.shape[0]
+
+    def rowify(x):
+        return jnp.repeat(x, 2, axis=0)
+
+    def probs_from_rows(logits_rows):
+        pairs = logits_rows.reshape(batch, 2, -1).astype(jnp.float32)
+        cond, uncond = pairs[:, 0], pairs[:, 1]
+        mixed = jnp.where((cfg_scales > 1.0)[:, None],
+                          uncond + (cond - uncond) * cfg_scales[:, None],
+                          cond)
+        filtered = filtered_logits_batched(mixed, temps, top_ks, top_ps)
+        return jax.nn.softmax(filtered, axis=-1)               # (B, V)
+
+    # ---- draft k proposals --------------------------------------------------
+    tok = slot_tokens
+    drafts, q_list = [], []
+    for j in range(k):
+        e = draft_params["tok_embeddings"][rowify(tok)][:, None].astype(ddtype)
+        lg, draft_cache = gpt.decode_step_multi(
+            draft_params, draft_cfg, e, pos + j, draft_cache, active,
+            draft_freqs)
+        qj = probs_from_rows(lg)
+        rng, r = jax.random.split(rng)
+        dj = jax.random.categorical(r, jnp.log(qj + 1e-30), axis=-1)
+        drafts.append(dj)
+        q_list.append(qj)
+        tok = dj
+    # tail write: d_{k-1}'s KV at pos+k so a fully-accepted block leaves no
+    # stale draft row (same fix as inference/speculative.py)
+    e = draft_params["tok_embeddings"][rowify(tok)][:, None].astype(ddtype)
+    _, draft_cache = gpt.decode_step_multi(
+        draft_params, draft_cfg, e, pos + k, draft_cache, active,
+        draft_freqs)
+    d = jnp.stack(drafts, axis=1)                              # (B, k)
+    q = jnp.stack(q_list, axis=1)                              # (B, k, V)
+
+    # ---- verify: one target pass over [cur, d_0..d_{k-1}] -------------------
+    blk = jnp.concatenate([slot_tokens[:, None], d], axis=1)   # (B, k+1)
+    be = params["tok_embeddings"][rowify(blk)].astype(dtype)
+    lg_blk, cache = gpt.decode_block_multi(params, cfg, be, pos, cache,
+                                           active, freqs_cis,
+                                           read_bound=read_bound)
+    v = lg_blk.shape[-1]
+    p = jnp.stack([probs_from_rows(lg_blk[:, t]) for t in range(k + 1)],
+                  axis=1)                                      # (B, k+1, V)
+
+    # ---- rejection sampling --------------------------------------------------
+    p_d = jnp.take_along_axis(p[:, :k], d[..., None], axis=-1)[..., 0]
+    q_d = jnp.take_along_axis(q, d[..., None], axis=-1)[..., 0]
+    rng, r = jax.random.split(rng)
+    u = jax.random.uniform(r, (batch, k))
+    acc = u * q_d < p_d
+    keep = jnp.cumprod(acc.astype(jnp.int32), axis=1)
+    n = keep.sum(axis=1)                                       # (B,)
+
+    q_pad = jnp.concatenate([q, jnp.zeros((batch, 1, v))], axis=1)
+    p_n = jnp.take_along_axis(p, n[:, None, None], axis=1)[:, 0]
+    q_n = jnp.take_along_axis(q_pad, n[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_n - q_n, 0.0)
+    rs = resid.sum(axis=-1, keepdims=True)
+    resid = jnp.where(rs > 0, resid / jnp.maximum(rs, 1e-30), p_n)
+    rng, r = jax.random.split(rng)
+    final = jax.random.categorical(r, jnp.log(resid + 1e-30), axis=-1)
+
+    d_pad = jnp.concatenate([d, jnp.zeros((batch, 1), d.dtype)], axis=1)
+    offs = jnp.arange(k + 1)[None, :]
+    toks = jnp.where(offs < n[:, None], d_pad, final[:, None])  # (B, k+1)
+    return toks.astype(jnp.int32), n.astype(jnp.int32), cache, draft_cache, rng
+
+
 @dataclass
 class SamplingParams:
     """Per-request sampling controls (ref vllm SamplingParams surface)."""
@@ -174,7 +269,8 @@ class ServeEngine:
                  max_seq: Optional[int] = None, dtype=None, mesh=None,
                  kv_int8: bool = False, kv_int4: bool = False,
                  weight_int8: bool = False,
-                 prefix_cache_size: int = 32, decode_window: int = 1):
+                 prefix_cache_size: int = 32, decode_window: int = 1,
+                 draft_params=None, draft_cfg=None, spec_k: int = 4):
         """`mesh`: optional jax Mesh — params are laid out by the tp/fsdp
         sharding rules (parallel/mesh.py) and the compiled prefill/decode
         steps run SPMD over it (the vLLM tensor_parallel_size analog).
@@ -184,7 +280,13 @@ class ServeEngine:
         stream (models/gpt.init_kv_cache_int4 has the accuracy story).
         `decode_window`: max decode steps fused into one dispatch between
         host syncs (power-of-2-bucketed; 1 = sync every token). Large windows
-        amortize host round-trips — essential over a network-attached chip."""
+        amortize host round-trips — essential over a network-attached chip.
+        `draft_params`/`draft_cfg`: enable SPECULATIVE serving (the vLLM
+        speculative_model analog): every engine step drafts spec_k tokens
+        with the small model and verifies them in one target pass — the
+        latency mode for small batches (outputs stay exactly
+        target-distributed). Limitations: c2i only (no per-row emb_masks),
+        window fusing is replaced by the spec block."""
         self.cfg = cfg
         self.dtype = jnp.dtype(dtype or cfg.dtype)
         self.model_params = gpt.cast_params(params, self.dtype)
@@ -240,6 +342,25 @@ class ServeEngine:
 
         self.decode_window = max(1, decode_window)
 
+        # speculative serving (draft model propose / target verify)
+        self.draft_cfg = draft_cfg
+        self.spec_k = spec_k
+        self.draft_params = None
+        self._draft_cache = None
+        if draft_params is not None:
+            assert draft_cfg is not None
+            assert draft_cfg.vocab_size == cfg.vocab_size
+            assert draft_cfg.cls_token_num == cfg.cls_token_num
+            assert draft_cfg.model_type == cfg.model_type == "c2i", \
+                "speculative serving supports c2i (no per-row emb_masks)"
+            self.ddtype = jnp.dtype(draft_cfg.dtype)
+            self.draft_params = gpt.cast_params(draft_params, self.ddtype)
+            self.draft_freqs = precompute_freqs_2d(
+                draft_cfg.grid_size, draft_cfg.head_dim, draft_cfg.rope_base,
+                t_cond)
+            self.stats["spec_drafted"] = 0
+            self.stats["spec_accepted"] = 0
+
         # automatic prefix caching (vLLM enable_prefix_caching analog): the
         # prefilled conditioning KV rows + first logits are content-addressed
         # by (cond, emb_mask) and copied into new slots instead of recomputing
@@ -252,6 +373,20 @@ class ServeEngine:
         self.stats["prefix_hits"] = 0
         self.stats["prefix_misses"] = 0
         self._swapped: Dict[int, Any] = {}   # request_id -> host KV state
+
+    @property
+    def draft_cache(self):
+        """Draft-model slot KV cache (bf16 — the draft is small; its
+        positions run up to spec_k past the target's, hence the margin)."""
+        if self._draft_cache is None:
+            self._draft_cache = gpt.init_kv_cache(
+                self.draft_cfg, self.rows, self.max_seq + self.spec_k + 1,
+                self.ddtype)
+        return self._draft_cache
+
+    @draft_cache.setter
+    def draft_cache(self, value):
+        self._draft_cache = value
 
     @property
     def cache(self):
@@ -334,11 +469,19 @@ class ServeEngine:
         t_start = time.monotonic()
         cond = jnp.asarray(np.stack([np.asarray(c) for c in conds]))
         self.rng, r = jax.random.split(self.rng)
-        seqs = np.asarray(compiled_generate(
-            self.model_params, self.cfg, cond, r, sp.max_tokens,
-            cfg_scale=sp.cfg_scale, temperature=sp.temperature,
-            top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8,
-            kv_int4=self.kv_int4))
+        if self.draft_params is not None:
+            from ..inference.speculative import spec_generate
+            seqs = np.asarray(spec_generate(
+                self.model_params, self.cfg, self.draft_params,
+                self.draft_cfg, cond, r, sp.max_tokens, spec_k=self.spec_k,
+                cfg_scale=sp.cfg_scale, temperature=sp.temperature,
+                top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8))
+        else:
+            seqs = np.asarray(compiled_generate(
+                self.model_params, self.cfg, cond, r, sp.max_tokens,
+                cfg_scale=sp.cfg_scale, temperature=sp.temperature,
+                top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8,
+                kv_int4=self.kv_int4))
         out = []
         now = time.monotonic()
         for c, seq in zip(conds, seqs):
@@ -391,6 +534,26 @@ class ServeEngine:
         self.pos[row_c], self.pos[row_u] = st["pos"]
         self.col_valid[row_c:row_u + 1] = st["col_valid"]
         self.slots[slot_id] = req
+        if self.draft_params is not None:
+            # swap state only carries the target cache; rebuild the draft's
+            # conditioning rows (its decode rows beyond t_cond are stale but
+            # rewritten before any read — same argument as spec_generate).
+            # The generated-token rows CANNOT be rebuilt (tokens only, no
+            # cheap re-prefill of the draft over them at per-row positions)
+            # so proposals degrade for this request; outputs stay exactly
+            # target-distributed regardless (rejection sampling).
+            t_cond = self.t_cond
+            cond_j = jnp.asarray(req.cond)[None]
+            demb = gpt.embed_cond(self.draft_params, self.draft_cfg, cond_j,
+                                  train=False, dtype=self.ddtype)
+            m = np.tril(np.ones((t_cond, t_cond), bool))[None]
+            jobs = [(row_c, demb, m)]
+            if req.params.cfg_scale > 1.0:
+                null = jnp.full_like(cond_j, self.cfg.num_classes)
+                dnull = gpt.embed_cond(self.draft_params, self.draft_cfg,
+                                       null, train=False, dtype=self.ddtype)
+                jobs.append((row_u, dnull, m))
+            self._draft_prefill(jobs)
         self.stats["swap_ins"] = self.stats.get("swap_ins", 0) + 1
 
     # ------------------------------------------------------------------- sched
@@ -436,6 +599,8 @@ class ServeEngine:
             return
 
         jobs = []          # prefix-cache misses: (key, row, emb, mask)
+        draft_jobs = []    # speculative: (row, draft_emb, mask) — ALL rows
+                           # (prefix-cache hits skip TARGET prefill only)
         pending: Dict[bytes, int] = {}   # key -> row of first miss this batch
         aliases = []       # (row, key): same prefix admitted twice this batch
         logits_by_row: Dict[int, Any] = {}
@@ -477,6 +642,11 @@ class ServeEngine:
                 prefill_mask = np.tril(np.ones((t_cond, t_cond), bool))[None]
             lookup(self._prefix_key(req.cond, req.emb_mask, uncond=False),
                    row_c, cond_emb, prefill_mask)
+            if self.draft_params is not None:
+                assert req.emb_mask is None, "spec serving: c2i only"
+                demb = gpt.embed_cond(self.draft_params, self.draft_cfg,
+                                      cond_j, train=False, dtype=self.ddtype)
+                draft_jobs.append((row_c, demb, prefill_mask))
             if req.params.cfg_scale > 1.0:
                 if self.cfg.model_type == "c2i":
                     null = jnp.full_like(cond_j, self.cfg.num_classes)
@@ -487,6 +657,11 @@ class ServeEngine:
                                           train=False, dtype=self.dtype)
                 lookup(self._prefix_key(req.cond, req.emb_mask, uncond=True),
                        row_u, null_emb, prefill_mask)
+                if self.draft_params is not None:
+                    dnull = gpt.embed_cond(self.draft_params, self.draft_cfg,
+                                           null, train=False,
+                                           dtype=self.ddtype)
+                    draft_jobs.append((row_u, dnull, prefill_mask))
 
         if jobs:
             # pad the prefill batch to the next power of two by repeating the
@@ -520,6 +695,9 @@ class ServeEngine:
             while len(self.prefix_cache) > self.prefix_cache_size:
                 self.prefix_cache.popitem(last=False)
 
+        if draft_jobs:
+            self._draft_prefill(draft_jobs)
+
         for slot_id, req in admitted:
             row_c, row_u = 2 * slot_id, 2 * slot_id + 1
             logits = logits_by_row[row_c]
@@ -535,6 +713,86 @@ class ServeEngine:
             req.first_token_t = time.monotonic()
             self.pos[row_c] = self.t_cond
             self.pos[row_u] = self.t_cond
+
+    def _draft_prefill(self, draft_jobs):
+        """Batched draft-model prefill for newly admitted rows (pow2-padded
+        like the target path; no prefix caching — the draft is cheap and its
+        rows must exist for EVERY request, hits included)."""
+        m_pad = 1
+        while m_pad < len(draft_jobs):
+            m_pad *= 2
+        padded = draft_jobs + [draft_jobs[-1]] * (m_pad - len(draft_jobs))
+        embs = jnp.concatenate([j[1] for j in padded], axis=0)
+        masks = jnp.asarray(np.stack([j[2] for j in padded]))
+        rows = jnp.asarray(np.array([j[0] for j in padded], np.int32))
+        _, dmini = self._prefill_mini(self.draft_params, self.draft_cfg,
+                                      embs, masks, self.draft_freqs,
+                                      False, False, self.ddtype)
+        self.draft_cache = [_scatter_entry_rows(e, mr, rows)
+                            for e, mr in zip(self.draft_cache, dmini)]
+
+    def _spec_step(self) -> List[Request]:
+        """One speculative engine iteration: draft spec_k + verify-in-one-
+        pass for every active slot (_spec_block_multi). Emits 1..spec_k+1
+        tokens per slot per host sync — the latency analog of the fused
+        decode window, with the draft model paying the extra dispatches."""
+        self._admit()
+        active_slots = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active_slots:
+            return []
+
+        k = self.spec_k
+        slot_tokens = np.zeros(self.max_batch, np.int32)
+        active = np.zeros(self.rows, bool)
+        cfg_scales = np.ones(self.max_batch, np.float32)
+        temps = np.ones(self.max_batch, np.float32)
+        top_ks = np.zeros(self.max_batch, np.int32)
+        top_ps = np.ones(self.max_batch, np.float32)
+        for i in active_slots:
+            req = self.slots[i]
+            slot_tokens[i] = req.tokens[-1]
+            active[2 * i] = True
+            active[2 * i + 1] = req.params.cfg_scale > 1.0
+            sp = req.params
+            cfg_scales[i] = sp.cfg_scale
+            temps[i] = sp.temperature
+            top_ks[i] = sp.top_k
+            top_ps[i] = sp.top_p
+
+        need = max(int(self.pos[2 * i]) for i in active_slots) + k + 2
+        rb = next((b for b in self._read_buckets if b >= need), self.max_seq)
+        self.rng, r = jax.random.split(self.rng)
+        toks_d, n_d, self.cache, self.draft_cache, _ = _spec_block_multi(
+            self.model_params, self.draft_params, self.cfg, self.draft_cfg,
+            k, self.dtype, self.ddtype,
+            jnp.asarray(slot_tokens), jnp.asarray(self.pos), self.cache,
+            self.draft_cache, jnp.asarray(active),
+            self.freqs_cis, self.draft_freqs,
+            jnp.asarray(cfg_scales), jnp.asarray(temps),
+            jnp.asarray(top_ks), jnp.asarray(top_ps), r, read_bound=rb)
+        toks = np.asarray(toks_d)          # (B, k+1) — the ONE host sync
+        n = np.asarray(n_d)                # (B,) accepted drafts
+
+        finished = []
+        for i in active_slots:
+            req = self.slots[i]
+            emit = int(n[i]) + 1
+            take = min(emit, req.params.max_tokens - len(req.tokens))
+            req.tokens.extend(int(t) for t in toks[i, :take])
+            self.stats["tokens_generated"] += take
+            self.stats["spec_drafted"] += k
+            self.stats["spec_accepted"] += int(n[i])
+            self.pos[2 * i] += emit
+            self.pos[2 * i + 1] += emit
+            if req.finished:
+                req.finish_t = time.monotonic()
+                finished.append(req)
+                self.slots[i] = None
+                self.pos[2 * i] = 0
+                self.pos[2 * i + 1] = 0
+                self.stats["requests_done"] += 1
+        self.stats["steps"] += 1
+        return finished
 
     def _pick_window(self, active_slots) -> int:
         """Decode steps to fuse this iteration: forced to 1 while admissions
@@ -569,12 +827,27 @@ class ServeEngine:
         percentiles; benches call this before the clock starts.
 
         Returns the number of graphs compiled."""
-        windows = windows or sorted({1, self.decode_window})
         zeros_b = jnp.zeros(self.max_batch, jnp.int32)
         inactive = jnp.zeros(self.rows, bool)
         pos0 = jnp.zeros(self.rows, jnp.int32)
-        col_valid = jnp.asarray(self.col_valid)
         f1 = jnp.ones(self.max_batch, jnp.float32)
+        if self.draft_params is not None:
+            # spec engines dispatch _spec_block_multi instead of decode
+            # windows; its only shape axis is the read bucket
+            n = 0
+            for rb in self._read_buckets:
+                self.rng, r = jax.random.split(self.rng)
+                toks, _, self.cache, self.draft_cache, _ = _spec_block_multi(
+                    self.model_params, self.draft_params, self.cfg,
+                    self.draft_cfg, self.spec_k, self.dtype, self.ddtype,
+                    zeros_b, pos0, self.cache, self.draft_cache, inactive,
+                    self.freqs_cis, self.draft_freqs, f1, f1, zeros_b, f1,
+                    r, read_bound=rb)
+                np.asarray(toks)
+                n += 1
+            return n
+        windows = windows or sorted({1, self.decode_window})
+        col_valid = jnp.asarray(self.col_valid)
         n = 0
         for k in windows:
             for rb in self._read_buckets:
@@ -596,6 +869,8 @@ class ServeEngine:
         requests, run one batched decode dispatch (k fused steps) for all
         active slots, sample, retire finished requests. Returns requests
         finished this step."""
+        if self.draft_params is not None:
+            return self._spec_step()
         self._admit()
         active_slots = [i for i, s in enumerate(self.slots) if s is not None]
         if not active_slots:
@@ -678,8 +953,13 @@ class ServeEngine:
     def log_stats(self) -> Dict[str, Any]:
         """Throughput/latency snapshot (ref llm_engine.py StatLogger)."""
         dt = time.monotonic() - self.stats["t_start"]
+        extra = {}
+        if self.draft_params is not None and self.stats.get("spec_drafted"):
+            extra["spec_alpha"] = round(
+                self.stats["spec_accepted"] / self.stats["spec_drafted"], 4)
         return {
             **self.stats,
+            **extra,
             "elapsed_s": round(dt, 3),
             "tokens_per_s": round(self.stats["tokens_generated"] / max(dt, 1e-9), 1),
             "active_slots": sum(s is not None for s in self.slots),
