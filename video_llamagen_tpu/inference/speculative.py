@@ -57,7 +57,7 @@ def _probs(logits, cfg_scale, temperature, top_k, top_p):
     jax.jit,
     static_argnames=("cfg", "draft_cfg", "max_new_tokens", "spec_k",
                      "cfg_scale", "temperature", "top_k", "top_p",
-                     "sample_logits", "kv_int8", "draft_kv_int8",
+                     "sample_logits", "kv_int8", "kv_int4", "draft_kv_int8",
                      "return_stats"),
 )
 def spec_generate(params, cfg: GPTConfig, draft_params, draft_cfg: GPTConfig,
@@ -67,6 +67,7 @@ def spec_generate(params, cfg: GPTConfig, draft_params, draft_cfg: GPTConfig,
                   top_k: int = 0, top_p: float = 1.0,
                   sample_logits: bool = True,
                   kv_int8: bool = False,
+                  kv_int4: bool = False,
                   draft_kv_int8: bool = False,
                   return_stats: bool = False):
     """Generate (B, max_new_tokens) int32 tokens, draft+verify.
@@ -98,7 +99,8 @@ def spec_generate(params, cfg: GPTConfig, draft_params, draft_cfg: GPTConfig,
     cond_d = _build_cond_combined(draft_params, draft_cfg, cond, cfg_scale)
     b_cfg = cond_t.shape[0]
 
-    cache_t = (gpt.init_kv_cache_int8(cfg, b_cfg, s_max) if kv_int8
+    cache_t = (gpt.init_kv_cache_int4(cfg, b_cfg, s_max) if kv_int4
+               else gpt.init_kv_cache_int8(cfg, b_cfg, s_max) if kv_int8
                else gpt.init_kv_cache(cfg, b_cfg, s_max, dtype))
     cache_d = (gpt.init_kv_cache_int8(draft_cfg, b_cfg, s_max)
                if draft_kv_int8
