@@ -94,9 +94,9 @@ def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4,
     def window(tokens, pos, cache, r):
         """One engine window: fused k-step decode + per-layer commit (the
         exact steady-state online path)."""
-        toks, pos, bufs = fn(params, cfg, k, jnp.bfloat16, tokens, pos,
-                             cache, active, freqs, col_valid, cfg_scales,
-                             temps, top_ks, top_ps, r)
+        toks, pos, bufs, _ = fn(params, cfg, k, jnp.bfloat16, tokens, pos,
+                                cache, active, freqs, col_valid, cfg_scales,
+                                temps, top_ks, top_ps, r)
         cache = [eng_mod._commit_entry(e, wb, pos - k, active)
                  for e, wb in zip(cache, bufs)]
         return toks, pos, cache

@@ -171,7 +171,7 @@ def test_read_bucket_crossing_bit_exact(params):
     args = (p, cfg, )
     k8 = 8
     pos0 = jnp.ones(rows, jnp.int32)
-    toks, _, bufs = _decode_n_multi(
+    toks, _, bufs, _ = _decode_n_multi(
         p, cfg, k8, jnp.float32, jnp.array([7], jnp.int32),
         pos0, cache8, common["active"], freqs,
         common["col_valid"], jnp.full(1, 2.0, jnp.float32), common["f"],
@@ -182,7 +182,7 @@ def test_read_bucket_crossing_bit_exact(params):
     cache_1 = gpt.init_kv_cache_int8(cfg, rows, 64)
     pos = pos0
     for t in fed:
-        _, npos, bufs1 = _decode_n_multi(
+        _, npos, bufs1, _ = _decode_n_multi(
             p, cfg, 1, jnp.float32, jnp.array([t], jnp.int32), pos,
             cache_1, common["active"], freqs, common["col_valid"],
             jnp.full(1, 2.0, jnp.float32), common["f"],

@@ -72,15 +72,41 @@ def logits_to_probs(logits: jnp.ndarray, temperature: float = 1.0,
     return jax.nn.softmax(logits, axis=-1)
 
 
+def apply_penalties_batched(logits: jnp.ndarray, counts: jnp.ndarray,
+                            presence: jnp.ndarray, frequency: jnp.ndarray,
+                            repetition: jnp.ndarray) -> jnp.ndarray:
+    """Per-row repetition / presence / frequency penalties from output-token
+    counts (ref serve/sampler.py:207-227 _apply_penalties, vLLM semantics).
+
+    logits (B, V) raw (pre-temperature); counts (B, V) int — how many times
+    each vocab token has been emitted by that row so far; presence/frequency
+    (B,) additive penalties; repetition (B,) multiplicative (1.0 = off,
+    applied only to already-seen tokens: positive logits divided, negative
+    multiplied).
+    """
+    logits = logits.astype(jnp.float32)
+    seen = counts > 0
+    rep = jnp.where(seen, repetition[:, None], 1.0)
+    logits = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = logits - frequency[:, None] * counts.astype(jnp.float32)
+    logits = logits - presence[:, None] * seen.astype(jnp.float32)
+    return logits
+
+
 def filtered_logits_batched(logits: jnp.ndarray, temperature: jnp.ndarray,
-                            top_k: jnp.ndarray,
-                            top_p: jnp.ndarray) -> jnp.ndarray:
-    """Temperature + per-row top-k/top-p filtering, vectorized over rows.
+                            top_k: jnp.ndarray, top_p: jnp.ndarray,
+                            min_p: Optional[jnp.ndarray] = None
+                            ) -> jnp.ndarray:
+    """Temperature + per-row top-k/top-p (and optional min-p) filtering,
+    vectorized over rows.
 
     logits (B, V); temperature/top_k/top_p each (B,). top_k<=0 disables
-    top-k for that row; top_p>=1 disables nucleus. Returns the filtered
-    (B, V) f32 logits — softmax of these IS the row's sampling distribution
-    (speculative serving computes acceptance probabilities from it).
+    top-k for that row; top_p>=1 disables nucleus; min_p (if given, (B,))
+    drops tokens whose probability is below min_p * max-prob (ref
+    serve/sampler.py:262-277 _apply_min_p); min_p<=0 disables. Returns the
+    filtered (B, V) f32 logits — softmax of these IS the row's sampling
+    distribution (speculative serving computes acceptance probabilities
+    from it).
     """
     b, v = logits.shape
     logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)[:, None]
@@ -100,7 +126,12 @@ def filtered_logits_batched(logits: jnp.ndarray, temperature: jnp.ndarray,
     inv = jnp.argsort(sort_idx, axis=-1)
     keep_p = ~jnp.take_along_axis(remove_sorted, inv, axis=-1)
 
-    return jnp.where(keep_k & keep_p, logits, NEG_INF)
+    keep = keep_k & keep_p
+    if min_p is not None:
+        probs_v = jnp.take_along_axis(probs, inv, axis=-1)   # vocab order
+        thresh = min_p[:, None] * probs[:, :1]               # min_p * p_max
+        keep = keep & (probs_v >= thresh)    # min_p<=0 -> thresh<=0 -> no-op
+    return jnp.where(keep, logits, NEG_INF)
 
 
 def sample_token_batched(rng: jax.Array, logits: jnp.ndarray,

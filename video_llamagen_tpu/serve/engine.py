@@ -36,7 +36,8 @@ from ..core.config import GPTConfig
 from ..core.rope import precompute_freqs_2d
 from ..models import gpt
 from ..ops.sampling import (sample_token, sample_token_batched, cfg_mix,
-                            filtered_logits_batched)
+                            filtered_logits_batched,
+                            apply_penalties_batched)
 
 
 def _mix_and_sample_fn(logits_rows, cfg_scales, temps, top_ks, top_ps, rng):
@@ -91,10 +92,10 @@ def _insert_entry_rows(entry, r, slot):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "dtype",
-                                             "read_bound"))
+                                             "read_bound", "want_logprobs"))
 def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
                     freqs_cis, col_valid, cfg_scales, temps, top_ks, top_ps,
-                    rng, read_bound=None):
+                    rng, read_bound=None, extras=None, want_logprobs=False):
     """k continuous-batching decode steps in ONE dispatch.
 
     The per-step engine loop costs one host round-trip per token, which over
@@ -106,7 +107,16 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     re-written before any later read (vLLM amortizes the same loop with
     CUDA-graph replay).
 
-    slot_tokens (R/2,) int32; returns ((k, R/2) tokens, pos, win_bufs).
+    slot_tokens (R/2,) int32; returns ((k, R/2) tokens, pos, win_bufs, aux).
+
+    `extras` (optional dict, non-static — None keeps the default graph
+    byte-identical): {"counts" (B,V) int32 per-slot output-token histogram,
+    "min_p"/"pres"/"freq"/"rep" (B,)} enables the vLLM penalty/min-p sampler
+    surface (ref serve/sampler.py:75,207-227,262-277); the updated counts
+    come back in aux["counts"]. `want_logprobs` (static) additionally
+    returns aux["logprobs"] (k, B) — the chosen token's log-prob under the
+    final (penalized+filtered, renormalized) distribution, vLLM's sampled
+    logprobs semantics (ref sampler.py:93-98).
 
     The window runs over a FROZEN cache: scan-carrying the big cache with
     per-row scatters makes XLA insert compressed copies of it every
@@ -121,24 +131,55 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     win_bufs = gpt.init_window_bufs(cfg, rows, k, buf_dtype, int8=int8)
 
     def step(carry, i):
-        slot_tokens, win_bufs, rng = carry
+        slot_tokens, win_bufs, counts, rng = carry
         row_tokens = jnp.repeat(slot_tokens, 2)
         tok_emb = params["tok_embeddings"][row_tokens][:, None, :].astype(dtype)
         logits, win_bufs = gpt.decode_step_window(
             params, cfg, tok_emb, i, pos, reads, big_mask, win_bufs,
             freqs_cis)
         rng, r = jax.random.split(rng)
-        sampled = _mix_and_sample_fn(logits, cfg_scales, temps, top_ks,
-                                     top_ps, r)
+        if extras is None and not want_logprobs:
+            sampled = _mix_and_sample_fn(logits, cfg_scales, temps, top_ks,
+                                         top_ps, r)
+            lp_tok = None
+        else:
+            b = slot_tokens.shape[0]
+            pairs = logits.reshape(b, 2, -1).astype(jnp.float32)
+            cond, uncond = pairs[:, 0], pairs[:, 1]
+            mixed = jnp.where((cfg_scales > 1.0)[:, None],
+                              uncond + (cond - uncond) * cfg_scales[:, None],
+                              cond)
+            min_p = None
+            if extras is not None:
+                mixed = apply_penalties_batched(
+                    mixed, counts, extras["pres"], extras["freq"],
+                    extras["rep"])
+                min_p = extras["min_p"]
+            filtered = filtered_logits_batched(mixed, temps, top_ks, top_ps,
+                                               min_p=min_p)
+            sampled = jax.random.categorical(r, filtered, axis=-1)
+            lp_tok = jnp.take_along_axis(
+                jax.nn.log_softmax(filtered, axis=-1),
+                sampled[:, None], axis=-1)[:, 0]
         slot_tokens = jnp.where(active[::2], sampled, slot_tokens)
-        return (slot_tokens, win_bufs, rng), slot_tokens
+        if extras is not None:
+            counts = counts.at[jnp.arange(counts.shape[0]), slot_tokens].add(
+                active[::2].astype(counts.dtype))
+        ys = (slot_tokens, lp_tok) if want_logprobs else (slot_tokens, None)
+        return (slot_tokens, win_bufs, counts, rng), ys
 
-    (slot_tokens, win_bufs, _), toks = jax.lax.scan(
-        step, (slot_tokens, win_bufs, rng), jnp.arange(k))
+    counts0 = None if extras is None else extras["counts"]
+    (slot_tokens, win_bufs, counts, _), (toks, lps) = jax.lax.scan(
+        step, (slot_tokens, win_bufs, counts0, rng), jnp.arange(k))
+    aux = {}
+    if extras is not None:
+        aux["counts"] = counts
+    if want_logprobs:
+        aux["logprobs"] = lps
     # the big cache is a read-only INPUT here (no giant output to alias —
     # the axon AOT compiler reserves unaliased in+out otherwise); the engine
     # commits the window buffers layer-by-layer via _commit_entry
-    return toks, pos + k * active.astype(pos.dtype), win_bufs
+    return toks, pos + k * active.astype(pos.dtype), win_bufs, aux
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "dtype",
@@ -237,12 +278,38 @@ def _spec_block_multi(params, draft_params, cfg, draft_cfg, k: int, dtype,
 
 @dataclass
 class SamplingParams:
-    """Per-request sampling controls (ref vllm SamplingParams surface)."""
+    """Per-request sampling controls (ref vllm SamplingParams surface).
+
+    `n`/`best_of`: parallel sampling (ref sampler.py:303-327) — add_request
+    fans one request out into max(n, best_of) sequences sharing the
+    conditioning (the prefix cache collapses their prefills into one);
+    generate() keeps the n highest-cumulative-logprob sequences per group
+    when best_of > n. `presence_penalty`/`frequency_penalty` (additive) and
+    `repetition_penalty` (multiplicative) follow vLLM semantics from the
+    per-request output-token histogram (ref sampler.py:207-227); `min_p`
+    drops tokens below min_p * max-prob (ref sampler.py:262-277). The first
+    (prefill-sampled) token precedes any output history, so penalties
+    can't affect it — same as vLLM, where an empty output mask is a no-op.
+    `logprobs`: record the chosen token's log-prob each step into
+    Request.token_logprobs (ref sampler.py:93-98)."""
     temperature: float = 1.0
     top_k: int = 0
     top_p: float = 1.0
     max_tokens: int = 256
     cfg_scale: float = 1.0
+    n: int = 1
+    best_of: Optional[int] = None     # defaults to n
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    min_p: float = 0.0
+    logprobs: bool = False
+
+    @property
+    def uses_extras(self) -> bool:
+        """True when this request needs the penalty/min-p sampler variant."""
+        return (self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
+                or self.repetition_penalty != 1.0 or self.min_p > 0.0)
 
 
 @dataclass
@@ -255,10 +322,16 @@ class Request:
     arrival_t: float = field(default_factory=time.monotonic)
     first_token_t: Optional[float] = None
     finish_t: Optional[float] = None
+    group_id: Optional[int] = None    # parallel-sampling group (n/best_of)
+    token_logprobs: Optional[List[float]] = None
 
     @property
     def finished(self) -> bool:
         return len(self.tokens) >= self.params.max_tokens
+
+    @property
+    def cumulative_logprob(self) -> float:
+        return float(sum(self.token_logprobs or ()))
 
 
 class ServeEngine:
@@ -436,12 +509,45 @@ class ServeEngine:
     # ------------------------------------------------------------- request API
     def add_request(self, cond, params: Optional[SamplingParams] = None,
                     emb_mask=None) -> int:
-        rid = self._next_id
-        self._next_id += 1
-        self.queue.append(Request(rid, np.asarray(cond),
-                                  params or SamplingParams(),
-                                  emb_mask=emb_mask))
-        return rid
+        """Queue one request; returns its id (the GROUP id when n/best_of
+        fan it out into several sequences — children share group_id and the
+        prefix cache collapses their prefills into one)."""
+        sp = params or SamplingParams()
+        m = max(sp.n, sp.best_of or sp.n)
+        want_lp = sp.logprobs or m > sp.n   # best_of ranking needs logprobs
+        if self.draft_params is not None and (sp.uses_extras or want_lp):
+            raise ValueError("speculative serving does not support "
+                             "penalties/min_p/logprobs/best_of (vLLM 0.4.1 "
+                             "parity: its spec path had the same restriction)")
+        gid = self._next_id
+        for _ in range(m):
+            rid = self._next_id
+            self._next_id += 1
+            self.queue.append(Request(
+                rid, np.asarray(cond), sp, emb_mask=emb_mask,
+                group_id=gid if m > 1 else None,
+                token_logprobs=[] if want_lp else None))
+        return gid
+
+    def abort_request(self, request_id: int) -> int:
+        """Abort a queued, running, or swapped-out request (and, for a
+        group id, all its parallel-sampling children) — ref
+        llm_engine.py abort_request. Returns how many sequences died."""
+        match = lambda r: request_id in (r.request_id, r.group_id)
+        dead = [r for r in self.queue if match(r)]
+        self.queue = collections.deque(r for r in self.queue if not match(r))
+        for r in dead:   # swapped-out requests sit in the queue; drop their
+            self._swapped.pop(r.request_id, None)   # host KV state too
+        n = len(dead)
+        for slot_id, req in enumerate(self.slots):
+            if req is not None and match(req):
+                self.slots[slot_id] = None
+                self.pos[2 * slot_id] = 0
+                self.pos[2 * slot_id + 1] = 0
+                self._dev = None       # slot state changed -> re-upload
+                n += 1
+        self.stats["aborted"] = self.stats.get("aborted", 0) + n
+        return n
 
     def generate(self, conds, params: Optional[SamplingParams] = None,
                  offline_fast_path: bool = True) -> List[Request]:
@@ -454,15 +560,43 @@ class ServeEngine:
         continuous-batching step loop.
         """
         params = params or SamplingParams()
-        if offline_fast_path and len(conds) <= self.max_batch:
-            return self._generate_compiled(conds, params)
+        # the compiled fast path covers the uniform default sampler only;
+        # n/best_of, penalties, min_p, and logprobs ride the continuous-
+        # batching loop (exactly vLLM: non-default SamplingParams fall off
+        # the CUDA-graph path into the generic sampler)
+        m = max(params.n, params.best_of or params.n)
+        plain = (m == params.n and not params.uses_extras
+                 and not params.logprobs)
+        if (offline_fast_path and plain
+                and len(conds) * params.n <= self.max_batch):
+            if params.n == 1:
+                return self._generate_compiled(conds, params)
+            # parallel sampling of PLAIN requests = iid draws: tile the
+            # conds through the compiled batch path and group the outputs
+            reqs = self._generate_compiled(
+                [c for c in conds for _ in range(params.n)], params)
+            for j, r in enumerate(reqs):
+                r.group_id = reqs[(j // params.n) * params.n].request_id
+            return reqs
         for c in conds:
             self.add_request(c, params)
         done: Dict[int, Request] = {}
         while self.has_unfinished():
             for r in self.step():
                 done[r.request_id] = r
-        return [done[i] for i in sorted(done)]
+        out = [done[i] for i in sorted(done)]
+        if m > params.n:
+            # best_of > n: keep the n highest-cumulative-logprob sequences
+            # per group (ref sampler.py:303-327 best_of selection)
+            groups: Dict[int, List[Request]] = {}
+            for r in out:
+                groups.setdefault(r.group_id, []).append(r)
+            out = []
+            for gid in sorted(groups):
+                seqs = sorted(groups[gid], key=lambda r: -r.cumulative_logprob)
+                out.extend(sorted(seqs[:params.n],
+                                  key=lambda r: r.request_id))
+        return out
 
     def _generate_compiled(self, conds, sp: SamplingParams) -> List[Request]:
         from ..inference.generate import generate as compiled_generate
@@ -707,8 +841,24 @@ class ServeEngine:
             else:
                 mixed = logits
             self.rng, r = jax.random.split(self.rng)
-            tok = int(sample_token(r, mixed, req.params.temperature,
-                                   req.params.top_k, req.params.top_p)[0])
+            sp = req.params
+            if sp.uses_extras or req.token_logprobs is not None:
+                # min_p applies to the first token too (penalties don't:
+                # the output histogram is empty); logprob recorded so
+                # best_of ranking sees the whole sequence
+                filt = filtered_logits_batched(
+                    mixed.astype(jnp.float32),
+                    jnp.asarray([sp.temperature], jnp.float32),
+                    jnp.asarray([sp.top_k], jnp.int32),
+                    jnp.asarray([sp.top_p], jnp.float32),
+                    min_p=jnp.asarray([sp.min_p], jnp.float32))
+                tok = int(jax.random.categorical(r, filt, axis=-1)[0])
+                if req.token_logprobs is not None:
+                    req.token_logprobs.append(float(
+                        jax.nn.log_softmax(filt, axis=-1)[0, tok]))
+            else:
+                tok = int(sample_token(r, mixed, sp.temperature,
+                                       sp.top_k, sp.top_p)[0])
             req.tokens.append(tok)
             req.first_token_t = time.monotonic()
             self.pos[row_c] = self.t_cond
@@ -852,7 +1002,7 @@ class ServeEngine:
         for k in windows:
             for rb in self._read_buckets:
                 self.rng, r = jax.random.split(self.rng)
-                toks, _, win_bufs = _decode_n_multi(
+                toks, _, win_bufs, _ = _decode_n_multi(
                     self.model_params, self.cfg, k, self.dtype, zeros_b,
                     pos0, self.cache, inactive, self.freqs_cis, col_valid,
                     f1, f1, zeros_b, f1, r, read_bound=rb)
@@ -882,6 +1032,12 @@ class ServeEngine:
         temps = np.ones(self.max_batch, np.float32)
         top_ks = np.zeros(self.max_batch, np.int32)
         top_ps = np.ones(self.max_batch, np.float32)
+        min_ps = np.zeros(self.max_batch, np.float32)
+        pres = np.zeros(self.max_batch, np.float32)
+        freq = np.zeros(self.max_batch, np.float32)
+        rep = np.ones(self.max_batch, np.float32)
+        use_extras = False
+        want_lp = False
         for i in active_slots:
             req = self.slots[i]
             slot_tokens[i] = req.tokens[-1]
@@ -892,6 +1048,12 @@ class ServeEngine:
             temps[i] = sp.temperature
             top_ks[i] = sp.top_k
             top_ps[i] = sp.top_p
+            min_ps[i] = sp.min_p
+            pres[i] = sp.presence_penalty
+            freq[i] = sp.frequency_penalty
+            rep[i] = sp.repetition_penalty
+            use_extras = use_extras or sp.uses_extras
+            want_lp = want_lp or req.token_logprobs is not None
 
         k = self._pick_window(active_slots)
         # finishing requests may overshoot max_seq by < k (surplus trimmed),
@@ -917,19 +1079,39 @@ class ServeEngine:
                 "temps": jnp.asarray(temps),
                 "top_ks": jnp.asarray(top_ks),
                 "top_ps": jnp.asarray(top_ps),
+                "extras": None,
             }
+            if use_extras:
+                # per-slot output-token histograms, rebuilt from the token
+                # lists at every slot-set change (admit/finish/swap/abort)
+                counts = np.zeros((self.max_batch, self.cfg.vocab_size),
+                                  np.int32)
+                for i in active_slots:
+                    np.add.at(counts[i], np.asarray(
+                        self.slots[i].tokens, np.int64), 1)
+                self._dev["extras"] = {
+                    "counts": jnp.asarray(counts),
+                    "min_p": jnp.asarray(min_ps),
+                    "pres": jnp.asarray(pres),
+                    "freq": jnp.asarray(freq),
+                    "rep": jnp.asarray(rep),
+                }
         dev = self._dev
-        toks_dev, pos_dev, win_bufs = _decode_n_multi(
+        toks_dev, pos_dev, win_bufs, aux = _decode_n_multi(
             self.model_params, self.cfg, k, self.dtype,
             dev["slot_tokens"], dev["pos"], self.cache,
             dev["active"], self.freqs_cis, dev["col_valid"],
             dev["cfg_scales"], dev["temps"], dev["top_ks"],
-            dev["top_ps"], r, read_bound=rb)
+            dev["top_ps"], r, read_bound=rb, extras=dev["extras"],
+            want_logprobs=want_lp)
         self.cache = [_commit_entry(e, wb, dev["pos"], dev["active"])
                       for e, wb in zip(self.cache, win_bufs)]
         dev["slot_tokens"] = toks_dev[-1]  # device slice, no transfer
         dev["pos"] = pos_dev
+        if dev["extras"] is not None:
+            dev["extras"]["counts"] = aux["counts"]
         toks = np.asarray(toks_dev)    # (k, max_batch) — the ONE host sync
+        lps = np.asarray(aux["logprobs"]) if want_lp else None
         self.pos = self.pos + k * active.astype(np.int32)  # mirror device
 
         finished = []
@@ -937,6 +1119,8 @@ class ServeEngine:
             req = self.slots[i]
             take = min(k, req.params.max_tokens - len(req.tokens))
             req.tokens.extend(int(t) for t in toks[:take, i])
+            if req.token_logprobs is not None:
+                req.token_logprobs.extend(float(l) for l in lps[:take, i])
             self.stats["tokens_generated"] += take
             if req.finished:
                 req.finish_t = time.monotonic()
