@@ -91,11 +91,24 @@ def _insert_entry_rows(entry, r, slot):
             for name in entry}
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _fork_entry_rows(entry, src, dst):
+    """Copy one layer's cache rows `src` onto rows `dst` in place (donated).
+    Beam-search forking: when one parent beam spawns several children, the
+    extra children inherit the parent's KV by a device-side row copy — the
+    analog of vLLM's block-table fork (ref block_manager fork / sampler.py
+    :340-380), done by gather-then-scatter so overlapping src/dst read the
+    pre-copy values."""
+    return {name: a.at[dst].set(a[src]) for name, a in entry.items()}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "dtype",
-                                             "read_bound", "want_logprobs"))
+                                             "read_bound", "want_logprobs",
+                                             "n_cands"))
 def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
                     freqs_cis, col_valid, cfg_scales, temps, top_ks, top_ps,
-                    rng, read_bound=None, extras=None, want_logprobs=False):
+                    rng, read_bound=None, extras=None, want_logprobs=False,
+                    n_cands: int = 0):
     """k continuous-batching decode steps in ONE dispatch.
 
     The per-step engine loop costs one host round-trip per token, which over
@@ -116,7 +129,11 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     come back in aux["counts"]. `want_logprobs` (static) additionally
     returns aux["logprobs"] (k, B) — the chosen token's log-prob under the
     final (penalized+filtered, renormalized) distribution, vLLM's sampled
-    logprobs semantics (ref sampler.py:93-98).
+    logprobs semantics (ref sampler.py:93-98). `n_cands` (static, beam
+    search): also return the per-step top-n_cands candidate tokens and
+    log-probs per slot, aux["cand_tok"]/aux["cand_lp"] (k, B, n_cands) —
+    the engine's host-side beam scheduler picks winners ACROSS a group's
+    slots from these (ref sampler.py:340-380 _beam_search_sample).
 
     The window runs over a FROZEN cache: scan-carrying the big cache with
     per-row scatters makes XLA insert compressed copies of it every
@@ -138,7 +155,8 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
             params, cfg, tok_emb, i, pos, reads, big_mask, win_bufs,
             freqs_cis)
         rng, r = jax.random.split(rng)
-        if extras is None and not want_logprobs:
+        c_lp = c_tok = None
+        if extras is None and not want_logprobs and not n_cands:
             sampled = _mix_and_sample_fn(logits, cfg_scales, temps, top_ks,
                                          top_ps, r)
             lp_tok = None
@@ -158,24 +176,29 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
             filtered = filtered_logits_batched(mixed, temps, top_ks, top_ps,
                                                min_p=min_p)
             sampled = jax.random.categorical(r, filtered, axis=-1)
-            lp_tok = jnp.take_along_axis(
-                jax.nn.log_softmax(filtered, axis=-1),
-                sampled[:, None], axis=-1)[:, 0]
+            lsm = jax.nn.log_softmax(filtered, axis=-1)
+            lp_tok = jnp.take_along_axis(lsm, sampled[:, None], axis=-1)[:, 0]
+            if n_cands:
+                c_lp, c_tok = jax.lax.top_k(lsm, n_cands)
         slot_tokens = jnp.where(active[::2], sampled, slot_tokens)
         if extras is not None:
             counts = counts.at[jnp.arange(counts.shape[0]), slot_tokens].add(
                 active[::2].astype(counts.dtype))
-        ys = (slot_tokens, lp_tok) if want_logprobs else (slot_tokens, None)
-        return (slot_tokens, win_bufs, counts, rng), ys
+        lp_tok = lp_tok if want_logprobs else None
+        return (slot_tokens, win_bufs, counts, rng), \
+            (slot_tokens, lp_tok, c_lp, c_tok)
 
     counts0 = None if extras is None else extras["counts"]
-    (slot_tokens, win_bufs, counts, _), (toks, lps) = jax.lax.scan(
-        step, (slot_tokens, win_bufs, counts0, rng), jnp.arange(k))
+    (slot_tokens, win_bufs, counts, _), (toks, lps, clps, ctoks) = \
+        jax.lax.scan(step, (slot_tokens, win_bufs, counts0, rng),
+                     jnp.arange(k))
     aux = {}
     if extras is not None:
         aux["counts"] = counts
     if want_logprobs:
         aux["logprobs"] = lps
+    if n_cands:
+        aux["cand_lp"], aux["cand_tok"] = clps, ctoks
     # the big cache is a read-only INPUT here (no giant output to alias —
     # the axon AOT compiler reserves unaliased in+out otherwise); the engine
     # commits the window buffers layer-by-layer via _commit_entry
@@ -291,7 +314,17 @@ class SamplingParams:
     (prefill-sampled) token precedes any output history, so penalties
     can't affect it — same as vLLM, where an empty output mask is a no-op.
     `logprobs`: record the chosen token's log-prob each step into
-    Request.token_logprobs (ref sampler.py:93-98)."""
+    Request.token_logprobs (ref sampler.py:93-98).
+    `use_beam_search`: beam search over best_of beams (ref sampler.py
+    :340-380 _beam_search_sample; vLLM 0.4.1 semantics): each step every
+    live beam proposes its top-2*bw continuations by CFG-mixed log-prob and
+    the bw highest cumulative-log-prob (beam, token) pairs survive; forking
+    copies KV rows on device. Like vLLM it requires neutral sampling
+    (temperature 1 here — vLLM spells "no sampling" as temperature 0 —,
+    no top_k/top_p/penalties) and best_of >= 2; `n` of the final beams are
+    returned, ranked by cumulative log-prob / len**length_penalty. c2i/t2i
+    generation is fixed-length so all beams finish together
+    (early_stopping is moot)."""
     temperature: float = 1.0
     top_k: int = 0
     top_p: float = 1.0
@@ -304,12 +337,18 @@ class SamplingParams:
     repetition_penalty: float = 1.0
     min_p: float = 0.0
     logprobs: bool = False
+    use_beam_search: bool = False
+    length_penalty: float = 1.0
 
     @property
     def uses_extras(self) -> bool:
         """True when this request needs the penalty/min-p sampler variant."""
         return (self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
                 or self.repetition_penalty != 1.0 or self.min_p > 0.0)
+
+    @property
+    def beam_width(self) -> int:
+        return max(self.n, self.best_of or self.n)
 
 
 @dataclass
@@ -514,11 +553,27 @@ class ServeEngine:
         prefix cache collapses their prefills into one)."""
         sp = params or SamplingParams()
         m = max(sp.n, sp.best_of or sp.n)
-        want_lp = sp.logprobs or m > sp.n   # best_of ranking needs logprobs
-        if self.draft_params is not None and (sp.uses_extras or want_lp):
+        # best_of ranking and beam bookkeeping both need logprobs
+        want_lp = sp.logprobs or m > sp.n or sp.use_beam_search
+        if self.draft_params is not None and (sp.uses_extras or want_lp
+                                              or sp.use_beam_search):
             raise ValueError("speculative serving does not support "
-                             "penalties/min_p/logprobs/best_of (vLLM 0.4.1 "
-                             "parity: its spec path had the same restriction)")
+                             "penalties/min_p/logprobs/best_of/beams (vLLM "
+                             "0.4.1 parity: its spec path had the same "
+                             "restriction)")
+        if sp.use_beam_search:
+            # vLLM's _verify_beam_search: best_of > 1, no sampling knobs
+            if m < 2:
+                raise ValueError("beam search requires best_of >= 2")
+            if m > self.max_batch:
+                raise ValueError(f"beam width {m} exceeds max_batch "
+                                 f"{self.max_batch}: beams must be "
+                                 "co-resident")
+            if (sp.uses_extras or sp.temperature != 1.0 or sp.top_k > 0
+                    or sp.top_p < 1.0):
+                raise ValueError("beam search is incompatible with "
+                                 "temperature/top_k/top_p/penalties "
+                                 "(vLLM _verify_beam_search)")
         gid = self._next_id
         for _ in range(m):
             rid = self._next_id
@@ -566,7 +621,7 @@ class ServeEngine:
         # the CUDA-graph path into the generic sampler)
         m = max(params.n, params.best_of or params.n)
         plain = (m == params.n and not params.uses_extras
-                 and not params.logprobs)
+                 and not params.logprobs and not params.use_beam_search)
         if (offline_fast_path and plain
                 and len(conds) * params.n <= self.max_batch):
             if params.n == 1:
@@ -585,15 +640,22 @@ class ServeEngine:
             for r in self.step():
                 done[r.request_id] = r
         out = [done[i] for i in sorted(done)]
-        if m > params.n:
-            # best_of > n: keep the n highest-cumulative-logprob sequences
-            # per group (ref sampler.py:303-327 best_of selection)
+        if m > params.n or params.use_beam_search:
+            # best_of > n: keep the n highest-scoring sequences per group
+            # (ref sampler.py:303-327 best_of selection). Beam groups rank
+            # by the GNMT length-penalized score cum_lp / len**length_penalty
+            # (vLLM's beam ranking; lengths are equal here so the penalty is
+            # a tie-free normalization, kept for parity).
+            def score(r):
+                d = max(len(r.tokens), 1) ** r.params.length_penalty \
+                    if r.params.use_beam_search else 1.0
+                return r.cumulative_logprob / d
             groups: Dict[int, List[Request]] = {}
             for r in out:
                 groups.setdefault(r.group_id, []).append(r)
             out = []
             for gid in sorted(groups):
-                seqs = sorted(groups[gid], key=lambda r: -r.cumulative_logprob)
+                seqs = sorted(groups[gid], key=lambda r: -score(r))
                 out.extend(sorted(seqs[:params.n],
                                   key=lambda r: r.request_id))
         return out
@@ -645,6 +707,8 @@ class ServeEngine:
         for slot_id, req in enumerate(self.slots):
             if req is None or req.request_id != request_id:
                 continue
+            if req.params.use_beam_search:
+                return False   # beams are co-scheduled; no partial preemption
             row_c, row_u = 2 * slot_id, 2 * slot_id + 1
             self._swapped[request_id] = {
                 "rows": jax.device_get(
@@ -719,10 +783,20 @@ class ServeEngine:
         Prefix-cache hits copy KV rows; all misses across all newly admitted
         requests prefill in ONE batched dispatch."""
         admitted = []
-        for slot_id in range(self.max_batch):
-            if self.slots[slot_id] is not None or not self.queue:
-                continue
+        free = [i for i in range(self.max_batch) if self.slots[i] is None]
+        fi = 0
+        while self.queue and fi < len(free):
+            head = self.queue[0]
+            if head.params.use_beam_search:
+                # beams are co-scheduled: the whole group (contiguous in the
+                # FIFO — beams never swap) admits atomically or waits
+                gsize = sum(1 for r in self.queue
+                            if r.group_id == head.group_id)
+                if gsize > len(free) - fi:
+                    break
             req = self.queue.popleft()
+            slot_id = free[fi]
+            fi += 1
             self._dev = None                     # slot state changes below
             if req.request_id in self._swapped:
                 self._swap_in(req, slot_id)      # resume, no re-prefill
@@ -832,6 +906,7 @@ class ServeEngine:
         if draft_jobs:
             self._draft_prefill(draft_jobs)
 
+        beam_admits: Dict[int, List[Any]] = {}
         for slot_id, req in admitted:
             row_c, row_u = 2 * slot_id, 2 * slot_id + 1
             logits = logits_by_row[row_c]
@@ -840,6 +915,25 @@ class ServeEngine:
                 mixed = cfg_mix(both, req.params.cfg_scale)
             else:
                 mixed = logits
+            if req.params.use_beam_search:
+                # first token: the group's beams take the top-bw DISTINCT
+                # tokens of the shared prefill distribution (ref
+                # sampler.py:340-352 — the prompt phase of beam search)
+                g = beam_admits.setdefault(req.group_id, [])
+                if not g:
+                    lsm = np.asarray(jax.nn.log_softmax(
+                        mixed.astype(jnp.float32), axis=-1))[0]
+                    g.append(lsm)
+                lsm = g[0]
+                j = len(g) - 1          # this member's rank in the group
+                tok = int(np.argsort(-lsm)[j])
+                req.tokens.append(tok)
+                req.token_logprobs.append(float(lsm[tok]))
+                req.first_token_t = time.monotonic()
+                self.pos[row_c] = self.t_cond
+                self.pos[row_u] = self.t_cond
+                g.append(req)
+                continue
             self.rng, r = jax.random.split(self.rng)
             sp = req.params
             if sp.uses_extras or req.token_logprobs is not None:
@@ -1014,6 +1108,65 @@ class ServeEngine:
                 n += 1
         return n
 
+    def _beam_reassign(self, beam_groups: Dict[int, List[int]],
+                       cand_lp: np.ndarray, cand_tok: np.ndarray):
+        """One beam-search transition per live group (ref sampler.py:340-380
+        _beam_search_sample, vLLM 0.4.1 semantics).
+
+        cand_lp/cand_tok (max_batch, n_cands): per-slot top candidates under
+        the CFG-mixed distribution, from the decode dispatch. For each group
+        the bw highest cumulative-log-prob (parent beam, token) pairs
+        survive; each surviving child inherits its parent's token history,
+        and children beyond the first per parent FORK the parent's KV rows
+        by an in-place device row copy (_fork_entry_rows — vLLM forks block
+        tables instead). The device-resident step carry is invalidated: the
+        next dispatch re-uploads slot tokens from the rewritten histories."""
+        src_slots: List[int] = []
+        dst_slots: List[int] = []
+        for slots_g in beam_groups.values():
+            bw = len(slots_g)
+            nc = min(2 * bw, cand_lp.shape[1])
+            cums = np.array([sum(self.slots[s].token_logprobs)
+                             for s in slots_g])
+            flat = (cums[:, None] + cand_lp[slots_g, :nc]).ravel()
+            top = np.argsort(-flat)[:bw]
+            parents = top // nc          # indices into slots_g
+            cols = top % nc
+            # histories snapshot BEFORE any child overwrites its slot
+            hist = {s: (self.slots[s].tokens, self.slots[s].token_logprobs)
+                    for s in slots_g}
+            # one child per parent keeps the parent's slot (zero-copy);
+            # extra children fork into the slots of dead beams
+            assign: Dict[int, int] = {}
+            taken = set()
+            for ci in range(bw):
+                ps = slots_g[parents[ci]]
+                if ps not in taken:
+                    assign[ci] = ps
+                    taken.add(ps)
+            vacant = [s for s in slots_g if s not in taken]
+            for ci in range(bw):
+                if ci not in assign:
+                    d = vacant.pop()
+                    assign[ci] = d
+                    src_slots.append(slots_g[parents[ci]])
+                    dst_slots.append(d)
+            for ci in range(bw):
+                ps = slots_g[parents[ci]]
+                tks, lph = hist[ps]
+                req = self.slots[assign[ci]]
+                req.tokens = tks + [int(cand_tok[ps, cols[ci]])]
+                req.token_logprobs = lph + [float(cand_lp[ps, cols[ci]])]
+        if src_slots:
+            sr = np.repeat(np.asarray(src_slots, np.int32) * 2, 2)
+            sr[1::2] += 1                # cond + uncond rows per slot
+            dr = np.repeat(np.asarray(dst_slots, np.int32) * 2, 2)
+            dr[1::2] += 1
+            sr_j, dr_j = jnp.asarray(sr), jnp.asarray(dr)
+            self.cache = [_fork_entry_rows(e, sr_j, dr_j)
+                          for e in self.cache]
+        self._dev = None   # slot tokens changed host-side -> re-upload
+
     def step(self) -> List[Request]:
         """One engine iteration (ref llm_engine.py:511-581 step): admit new
         requests, run one batched decode dispatch (k fused steps) for all
@@ -1038,6 +1191,7 @@ class ServeEngine:
         rep = np.ones(self.max_batch, np.float32)
         use_extras = False
         want_lp = False
+        beam_groups: Dict[int, List[int]] = {}
         for i in active_slots:
             req = self.slots[i]
             slot_tokens[i] = req.tokens[-1]
@@ -1054,8 +1208,18 @@ class ServeEngine:
             rep[i] = sp.repetition_penalty
             use_extras = use_extras or sp.uses_extras
             want_lp = want_lp or req.token_logprobs is not None
+            if sp.use_beam_search:
+                beam_groups.setdefault(req.group_id, []).append(i)
 
-        k = self._pick_window(active_slots)
+        # beam steps need the cross-beam host reshuffle between tokens, so
+        # windows collapse to 1 while any beam group is live (beam search is
+        # a quality mode, not the throughput path — same trade as vLLM,
+        # where beams fall off the CUDA-graph path)
+        n_cands = 0
+        if beam_groups:
+            n_cands = min(2 * max(map(len, beam_groups.values())),
+                          self.cfg.vocab_size)
+        k = 1 if beam_groups else self._pick_window(active_slots)
         # finishing requests may overshoot max_seq by < k (surplus trimmed),
         # hence the fallback to the full-length bucket
         need = max(int(self.pos[2 * i]) for i in active_slots) + k + 1
@@ -1103,7 +1267,7 @@ class ServeEngine:
             dev["active"], self.freqs_cis, dev["col_valid"],
             dev["cfg_scales"], dev["temps"], dev["top_ks"],
             dev["top_ps"], r, read_bound=rb, extras=dev["extras"],
-            want_logprobs=want_lp)
+            want_logprobs=want_lp, n_cands=n_cands)
         self.cache = [_commit_entry(e, wb, dev["pos"], dev["active"])
                       for e, wb in zip(self.cache, win_bufs)]
         dev["slot_tokens"] = toks_dev[-1]  # device slice, no transfer
@@ -1114,14 +1278,22 @@ class ServeEngine:
         lps = np.asarray(aux["logprobs"]) if want_lp else None
         self.pos = self.pos + k * active.astype(np.int32)  # mirror device
 
+        if beam_groups:
+            self._beam_reassign(beam_groups, np.asarray(aux["cand_lp"])[0],
+                                np.asarray(aux["cand_tok"])[0])
+
         finished = []
         for i in active_slots:
             req = self.slots[i]
-            take = min(k, req.params.max_tokens - len(req.tokens))
-            req.tokens.extend(int(t) for t in toks[:take, i])
-            if req.token_logprobs is not None:
-                req.token_logprobs.extend(float(l) for l in lps[:take, i])
-            self.stats["tokens_generated"] += take
+            if req.params.use_beam_search:
+                # _beam_reassign already appended this step's token/logprob
+                self.stats["tokens_generated"] += 1
+            else:
+                take = min(k, req.params.max_tokens - len(req.tokens))
+                req.tokens.extend(int(t) for t in toks[:take, i])
+                if req.token_logprobs is not None:
+                    req.token_logprobs.extend(float(l) for l in lps[:take, i])
+                self.stats["tokens_generated"] += take
             if req.finished:
                 req.finish_t = time.monotonic()
                 finished.append(req)
