@@ -25,7 +25,7 @@ import numpy as np
 
 def build(model, max_batch, weight_int8=False, kv_int8=False,
           decode_window=1, n_tokens=576, kv_int4=False, draft_model=None,
-          spec_k=4):
+          spec_k=4, weight_int4=False):
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.serve.engine import ServeEngine
@@ -43,6 +43,9 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
         if weight_int8:
             from video_llamagen_tpu.ops.quant import quantize_gpt_params
             p = quantize_gpt_params(p)
+        if weight_int4:
+            from video_llamagen_tpu.ops.quant import quantize_gpt_params4
+            p = quantize_gpt_params4(p)
         return p
 
     params = jax.jit(fabricate)(jax.random.key(0))
@@ -56,7 +59,8 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
             gpt.init_gpt_params(k, draft_cfg), jnp.bfloat16))(
                 jax.random.key(1))
     eng = ServeEngine(params, cfg, max_batch=max_batch,
-                      weight_int8=weight_int8, kv_int8=kv_int8,
+                      weight_int8=weight_int8, weight_int4=weight_int4,
+                      kv_int8=kv_int8,
                       kv_int4=kv_int4, decode_window=decode_window,
                       draft_params=draft_params, draft_cfg=draft_cfg,
                       spec_k=spec_k)
@@ -70,7 +74,7 @@ def bench_offline(args):
     for model in args.models:
         cfg, eng = build(model, args.batch, args.weight_int8, args.kv_int8,
                          kv_int4=args.kv_int4, draft_model=args.draft_model,
-                         spec_k=args.spec_k)
+                         spec_k=args.spec_k, weight_int4=args.weight_int4)
         sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0,
                             top_k=1000)
         conds = list(range(args.batch))
@@ -82,13 +86,15 @@ def bench_offline(args):
             times.append(time.perf_counter() - t0)
         dt = min(times)
         rec = {"model": model, "batch": args.batch, "n_tokens": args.n_tokens,
-               "weight_int8": args.weight_int8, "kv_int8": args.kv_int8,
+               "weight_int8": args.weight_int8,
+               "weight_int4": args.weight_int4, "kv_int8": args.kv_int8,
                "kv_int4": args.kv_int4,
                "total_s": round(dt, 3),
                "tok_s": round(args.batch * args.n_tokens / dt, 1),
                "iter_times": [round(t, 3) for t in times]}
         print(json.dumps(rec), flush=True)
         key = model + ("_w8" if args.weight_int8 else "") \
+                    + ("_w4" if args.weight_int4 else "") \
                     + ("_kv8" if args.kv_int8 else "") \
                     + ("_kv4" if args.kv_int4 else "")
         out[key] = rec
@@ -103,7 +109,8 @@ def bench_online(args):
     _, eng = build(args.models[0], args.batch, args.weight_int8,
                    args.kv_int8, decode_window=args.decode_window,
                    n_tokens=args.n_tokens, kv_int4=args.kv_int4,
-                   draft_model=args.draft_model, spec_k=args.spec_k)
+                   draft_model=args.draft_model, spec_k=args.spec_k,
+                   weight_int4=args.weight_int4)
     sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
 
     # Warm every compiled shape the Poisson run can hit BEFORE the clock
@@ -170,11 +177,13 @@ def bench_online(args):
         }
         print(json.dumps(rec), flush=True)
         rec["weight_int8"] = args.weight_int8
+        rec["weight_int4"] = args.weight_int4
         rec["kv_int8"] = args.kv_int8
         rec["kv_int4"] = args.kv_int4
         key = (f"{args.models[0]}_b{args.batch}_w{args.decode_window}"
                f"_r{rate}"
                + ("_w8" if args.weight_int8 else "")
+               + ("_w4" if args.weight_int4 else "")
                + ("_kv8" if args.kv_int8 else "")
                + ("_kv4" if args.kv_int4 else ""))
         _merge("bench_serving_online.json", {key: rec})
@@ -200,6 +209,9 @@ def main():
     p.add_argument("--n-tokens", type=int, default=576)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--weight-int8", action="store_true")
+    p.add_argument("--weight-int4", action="store_true",
+                   help="grouped int4 weights, W4A16 (ops/quant.py "
+                        "QuantizedLinear4; quarter the bf16 weight stream)")
     p.add_argument("--kv-int8", action="store_true")
     p.add_argument("--draft-model", default=None,
                    help="enable speculative serving with this draft GPT "

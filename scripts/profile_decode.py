@@ -26,7 +26,8 @@ import numpy as np
 
 
 def run_cfg(name, model, batch, n_tokens, cfg_scale, top_k, sample_logits,
-            iters=3, kv_int8=False, weight_int8=False, n_chunks=1):
+            iters=3, kv_int8=False, weight_int8=False, n_chunks=1,
+            weight_int4=False):
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.inference.generate import generate
@@ -39,6 +40,9 @@ def run_cfg(name, model, batch, n_tokens, cfg_scale, top_k, sample_logits,
     if weight_int8:
         from video_llamagen_tpu.ops.quant import quantize_gpt_params
         params = quantize_gpt_params(params)
+    if weight_int4:
+        from video_llamagen_tpu.ops.quant import quantize_gpt_params4
+        params = quantize_gpt_params4(params)
     cond = jnp.arange(batch, dtype=jnp.int32) % cfg.num_classes
 
     def run(seed):
@@ -62,6 +66,7 @@ def run_cfg(name, model, batch, n_tokens, cfg_scale, top_k, sample_logits,
         "name": name, "model": model, "batch": batch, "rows":
         batch * (2 if cfg_scale > 1 else 1), "n_tokens": n_tokens,
         "cfg_scale": cfg_scale, "kv_int8": kv_int8, "weight_int8": weight_int8,
+        "weight_int4": weight_int4,
         "n_chunks": n_chunks,
         "total_s": round(dt, 4), "ms_per_step": round(dt / steps * 1e3, 3),
         "tok_s": round(batch * n_tokens / dt, 1),
@@ -102,6 +107,15 @@ CONFIGS = {
                    {"n_chunks": 4, "kv_int8": True}),
     "P_b256_kv8": ("GPT-L", 256, 576, 2.0, 1000, True,
                    {"n_chunks": 4, "kv_int8": True}),
+    # W4A16 grouped int4 weights: small-batch latency lever (weight stream
+    # dominates at batch<=8); W4 vs W8 vs bf16 at batch 8 answers whether
+    # the TPU streams packed s4 bytes through the grouped dots
+    "Q_w4": ("GPT-L", 8, 576, 2.0, 1000, True, {"weight_int4": True}),
+    "Q_w4_kv8": ("GPT-L", 8, 576, 2.0, 1000, True,
+                 {"weight_int4": True, "kv_int8": True}),
+    "Q_b1_w4": ("GPT-L", 1, 576, 2.0, 1000, True, {"weight_int4": True}),
+    "Q_b1_bf16": ("GPT-L", 1, 576, 2.0, 1000, True, {}),
+    "Q_b1_w8": ("GPT-L", 1, 576, 2.0, 1000, True, {"weight_int8": True}),
     # generate-path twin of the serving probe's variant A (same batch/dtype/
     # full-length reads): isolates the slot machinery's cost vs the offline
     # scalar-pos scan

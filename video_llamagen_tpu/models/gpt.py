@@ -100,11 +100,11 @@ def init_gpt_params(rng: jax.Array, cfg: GPTConfig) -> Params:
 def cast_params(params: Params, dtype) -> Params:
     """Cast float params for inference (bf16 weights halve decode HBM traffic).
 
-    QuantizedLinear leaves pass through untouched: their scales are f32 by
-    design (ops/quant.py) and casting them would make a pre-quantized tree
-    numerically diverge from engine-side quantization on bf16 engines."""
-    from ..ops.quant import QuantizedLinear
-    is_q = lambda n: isinstance(n, QuantizedLinear)
+    Quantized leaves (int8 QuantizedLinear / int4 QuantizedLinear4) pass
+    through untouched: their scales are f32 by design (ops/quant.py) and
+    casting them would make a pre-quantized tree numerically diverge from
+    engine-side quantization on bf16 engines."""
+    from ..ops.quant import is_quantized_leaf as is_q
     return jax.tree_util.tree_map(
         lambda x: x if is_q(x)
         else x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,

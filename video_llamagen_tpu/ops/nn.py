@@ -23,12 +23,14 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndar
 
 
 def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Dense matmul; transparently accepts int8 weight-only QuantizedLinear
-    leaves (ops/quant.py) so quantized param trees flow through every
-    forward/decode path unchanged (vLLM weight-quantization analog)."""
-    if not isinstance(w, jnp.ndarray) and hasattr(w, "scale"):
-        from .quant import qlinear
-        y = qlinear(x, w)
+    """Dense matmul; transparently accepts weight-only quantized leaves —
+    int8 QuantizedLinear (per-out-channel) and int4 QuantizedLinear4
+    (grouped, AWQ/GPTQ-style) from ops/quant.py — so quantized param trees
+    flow through every forward/decode path unchanged (vLLM
+    weight-quantization analog)."""
+    if not isinstance(w, jnp.ndarray) and hasattr(w, "q"):
+        from .quant import QuantizedLinear4, qlinear, qlinear4
+        y = qlinear4(x, w) if isinstance(w, QuantizedLinear4) else qlinear(x, w)
     else:
         y = x @ w.astype(x.dtype)
     if b is not None:

@@ -90,6 +90,10 @@ GPT_SHARDING_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*(attention/wqkv|ffn/w[13]|output)/\.scale$", P("tp")),
     (r".*(attention/wo|ffn/w2)/\.q$", P("tp", "fsdp")),
     (r".*(attention/wo|ffn/w2)/\.scale$", P("fsdp")),
+    # int4 QuantizedLinear4 gscale (in//group, out) follows the q sharding:
+    # groups tile the input dim, so the input axis's mesh axis shards them
+    (r".*(attention/wqkv|ffn/w[13]|output)/\.gscale$", P("fsdp", "tp")),
+    (r".*(attention/wo|ffn/w2)/\.gscale$", P("tp", "fsdp")),
     # everything else (norms, small MLPs, biases) replicated
     (r".*", P()),
 )

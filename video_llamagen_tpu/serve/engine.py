@@ -380,7 +380,7 @@ class ServeEngine:
     def __init__(self, params, cfg: GPTConfig, max_batch: int = 8,
                  max_seq: Optional[int] = None, dtype=None, mesh=None,
                  kv_int8: bool = False, kv_int4: bool = False,
-                 weight_int8: bool = False,
+                 weight_int8: bool = False, weight_int4: bool = False,
                  prefix_cache_size: int = 32, decode_window: int = 1,
                  draft_params=None, draft_cfg=None, spec_k: int = 4):
         """`mesh`: optional jax Mesh — params are laid out by the tp/fsdp
@@ -402,17 +402,21 @@ class ServeEngine:
         self.cfg = cfg
         self.dtype = jnp.dtype(dtype or cfg.dtype)
         self.model_params = gpt.cast_params(params, self.dtype)
-        if weight_int8:
-            # per-output-channel int8 weights (W8A16): half the weight HBM
-            # stream; ops/nn.linear dispatches on the QuantizedLinear leaves.
-            # Pre-quantized trees pass through untouched, so HBM-tight models
-            # (GPT-3B) can be fabricated/loaded already-int8 without ever
-            # materializing bf16 + int8 on the device together.
-            from ..ops.quant import QuantizedLinear, quantize_gpt_params
-            is_q = lambda n: isinstance(n, QuantizedLinear)
-            if not any(map(is_q, jax.tree_util.tree_leaves(
-                    self.model_params, is_leaf=is_q))):
-                self.model_params = quantize_gpt_params(self.model_params)
+        assert not (weight_int8 and weight_int4), "pick one weight quantization"
+        if weight_int8 or weight_int4:
+            # weight-only quantization: int8 (W8A16, half the weight HBM
+            # stream) or grouped int4 (W4A16, quarter); ops/nn.linear
+            # dispatches on the quantized leaves. Pre-quantized trees pass
+            # through untouched, so HBM-tight models (GPT-3B) can be
+            # fabricated/loaded already-quantized without ever materializing
+            # bf16 + quantized on the device together.
+            from ..ops.quant import (is_quantized_leaf, quantize_gpt_params,
+                                     quantize_gpt_params4)
+            if not any(map(is_quantized_leaf, jax.tree_util.tree_leaves(
+                    self.model_params, is_leaf=is_quantized_leaf))):
+                qfn = quantize_gpt_params4 if weight_int4 \
+                    else quantize_gpt_params
+                self.model_params = qfn(self.model_params)
         if mesh is not None:
             from ..parallel import mesh as pmesh
             self.model_params = pmesh.shard_params(self.model_params, mesh)
