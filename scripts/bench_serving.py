@@ -130,13 +130,19 @@ def bench_online(args):
     n_warmed = 0
     for m in warm_sizes:
         for i in range(m):     # prefix-cache MISS with the right jobs count:
-            # distinct warm conds, kept clear of BOTH the measured run's conds
-            # (< num_requests) and the CFG null class (== num_classes)
+            # distinct warm conds (miss path compiles); kept below the CFG
+            # null class (== num_classes). The cache is cleared after
+            # warm-up, so overlap with the measured run's conds is fine.
             eng.add_request(np.int32(100 + n_warmed % 899), warm_sp)
             n_warmed += 1
         while eng.has_unfinished():
             eng.step()
     print(f"prewarm: {eng.prewarm()} decode graphs", flush=True)
+    # Drop every prefix-cache entry the warm-up populated: for
+    # --num-requests > 100 the warm conds (100..998) overlap the measured
+    # run's conds (i % 1000), and serving warm entries would inflate
+    # prefix_hits / deflate TTFT vs a cold engine.
+    eng.prefix_cache.clear()
     eng.stats.update(requests_done=0, tokens_generated=0, steps=0,
                      prefix_hits=0, prefix_misses=0)
 

@@ -9,11 +9,18 @@ variants to find where the time goes:
   A  batch 32, int8 KV        (the measured online config)
   B  batch 32, bf16 KV        (isolates the int8 cache write/read path)
   C  batch 8,  bf16 KV        (the round-2 online config, for scale)
-  D  batch 32, bf16, scalar-pos cache write (dynamic_update_slice at a
-     shared position instead of the per-row scatter — wrong semantics,
-     right cost shape: isolates the scatter lowering)
+  D  batch 32, bf16, shared-pos COMMIT (dynamic_update_slice at pos0[0]
+     instead of commit_entry's per-row scatter — wrong semantics, right
+     cost shape: isolates the commit scatter lowering)
+  E  batch 32, bf16, NO commit (frozen cache across windows — wrong
+     semantics: isolates whether the window cost is reads vs commit writes)
 
-Usage: python scripts/probe_multi_decode.py [A B C D]
+D/E ablate the window COMMIT because that is where the engine's steady
+state writes the cache (serve/engine.py _decode_n_multi + _commit_entry);
+the per-step `gpt._cache_write_slots` path belongs to decode_step_multi,
+which the frozen-window engine no longer calls.
+
+Usage: python scripts/probe_multi_decode.py [A B C D E ...]
 """
 
 import sys
@@ -41,39 +48,24 @@ def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4,
     params = gpt.cast_params(gpt.init_gpt_params(jax.random.key(0), cfg),
                              jnp.bfloat16)
 
-    if scalar_pos == "none":
-        orig = gpt._cache_write_slots
+    if scalar_pos:
+        assert not (kv_int8 or kv_int4), \
+            "D/E commit ablations are defined for the bf16 layout only"
 
-        def no_write(entry, k_new, v_new, batch_ids, pos, active):
-            # attention over the FROZEN cache (wrong semantics): isolates
-            # whether the window cost is the reads or the write aliasing
-            return entry
+    import functools
 
-        gpt._cache_write_slots = no_write
-    elif scalar_pos:
-        orig = gpt._cache_write_slots
-
-        def shared_pos_write(entry, k_new, v_new, batch_ids, pos, active):
-            # dynamic_update_slice at pos[0] for every row: wrong semantics,
-            # same bytes as the real per-row scatter IF scatter is in-place
-            out = dict(entry)
-            p = pos[0]
-            if "kT" in entry:   # seq-minor int8 layout
-                for nm, x in (("kT", k_new), ("vT", v_new)):
-                    col = x.astype(out[nm].dtype)[..., None]   # (B,KH,D,1)
-                    out[nm] = jax.lax.dynamic_update_slice(
-                        out[nm], col, (0, 0, 0, p))
-                return out
-            for nm, x in (("k", k_new), ("v", v_new)):
-                row = x.astype(out[nm].dtype)[:, :, None]      # (B,KH,1,D)
-                out[nm] = jax.lax.dynamic_update_slice(
-                    out[nm], row, (0, 0, p, 0))
-            if "k_scale" in entry:
-                for nm in ("k_scale", "v_scale"):
-                    out[nm] = entry[nm]
-            return out
-
-        gpt._cache_write_slots = shared_pos_write
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def commit_dus(entry, win_buf, pos0):
+        # shared-position commit: dynamic_update_slice of the whole (B,KH,k,D)
+        # window at pos0[0] — wrong semantics (ignores per-row positions and
+        # the active gate), same bytes as commit_entry's per-row scatter IF
+        # the scatter lowers in-place
+        p = pos0[0]
+        out = dict(entry)
+        for nm in ("k", "v"):
+            out[nm] = jax.lax.dynamic_update_slice(
+                entry[nm], win_buf[nm].astype(entry[nm].dtype), (0, 0, p, 0))
+        return out
 
     cache = (gpt.init_kv_cache_int4(cfg, rows, s_max) if kv_int4
              else gpt.init_kv_cache_int8(cfg, rows, s_max) if kv_int8
@@ -97,8 +89,14 @@ def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4,
         toks, pos, bufs, _ = fn(params, cfg, k, jnp.bfloat16, tokens, pos,
                                 cache, active, freqs, col_valid, cfg_scales,
                                 temps, top_ks, top_ps, r)
-        cache = [eng_mod._commit_entry(e, wb, pos - k, active)
-                 for e, wb in zip(cache, bufs)]
+        if scalar_pos == "none":
+            pass               # E: frozen cache, commit skipped entirely
+        elif scalar_pos:
+            cache = [commit_dus(e, wb, pos - k)    # D: shared-pos dus commit
+                     for e, wb in zip(cache, bufs)]
+        else:
+            cache = [eng_mod._commit_entry(e, wb, pos - k, active)
+                     for e, wb in zip(cache, bufs)]
         return toks, pos, cache
 
     rng = jax.random.key(0)
@@ -119,9 +117,6 @@ def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4,
           f"window_s={best:.3f} ms/iter={1000*best/k:.2f} "
           f"tok/s={batch*k/best:.0f} compile_s={compile_s:.1f} "
           f"times={[round(t,3) for t in times]}", flush=True)
-
-    if scalar_pos:
-        gpt._cache_write_slots = orig
 
 
 VARIANTS = {

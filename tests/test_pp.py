@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import randomize_head
 from video_llamagen_tpu.core.config import GPTConfig, MeshConfig, TrainConfig
 from video_llamagen_tpu.models import gpt
 from video_llamagen_tpu.parallel import pp, mesh as pmesh
@@ -36,7 +37,9 @@ def _data(cfg, b=4):
 
 def test_pipeline_forward_matches_forward_no_mesh():
     cfg = _cfg()
-    params = gpt.init_gpt_params(jax.random.key(0), cfg)
+    # randomize_head: zero-init output head would make the logits/loss
+    # comparisons vacuous (CLAUDE.md: 0 == 0 for any trunk)
+    params = randomize_head(gpt.init_gpt_params(jax.random.key(0), cfg))
     idx, cond, targets = _data(cfg)
     ref_logits, ref_loss = jax.jit(
         lambda p: gpt.forward(p, cfg, idx, cond, targets=targets))(params)
@@ -52,7 +55,10 @@ def test_pipeline_forward_matches_forward_no_mesh():
 
 def test_pipeline_forward_sharded_and_grads():
     cfg = _cfg()
-    params = gpt.init_gpt_params(jax.random.key(0), cfg)
+    # randomize_head: with the zero head, logits are 0 == 0 and trunk grads
+    # vanish (dL/dh = dlogits @ W_out^T = 0) — only a non-zero head makes
+    # the rotation schedule observable in both comparisons
+    params = randomize_head(gpt.init_gpt_params(jax.random.key(0), cfg))
     idx, cond, targets = _data(cfg)
     mesh = pmesh.make_mesh(MeshConfig(data=2, pp=4))
     psh = pp.pp_param_shardings(params, mesh)
@@ -112,9 +118,12 @@ def test_pp_train_step_runs_and_matches_dp():
         "targets": jnp.zeros((b, cfg.block_size), jnp.int32),
     }
 
-    # dp-only baseline
+    # dp-only baseline (randomize_head in BOTH states: a zero output head
+    # makes the loss trunk-independent — CE of all-zero logits = log V —
+    # so the loss/params comparisons would pass for any broken schedule)
     mesh0 = pmesh.make_mesh(MeshConfig(data=8))
     s0 = create_train_state(jax.random.key(0), cfg, tcfg)
+    s0 = s0._replace(params=randomize_head(s0.params))
     sh0 = train_state_shardings(s0, mesh0)
     s0 = jax.tree_util.tree_map(jax.device_put, s0, sh0)
     step0 = make_train_step(cfg, tcfg, mesh0, sh0)
@@ -125,6 +134,7 @@ def test_pp_train_step_runs_and_matches_dp():
     # pp x data
     mesh1 = pmesh.make_mesh(MeshConfig(data=2, pp=4))
     s1 = create_train_state(jax.random.key(0), cfg, tcfg)
+    s1 = s1._replace(params=randomize_head(s1.params))
     sh1 = train_state_shardings(s1, mesh1, pp=True)
     s1 = jax.tree_util.tree_map(jax.device_put, s1, sh1)
     step1 = make_train_step(cfg, tcfg, mesh1, sh1, pp=4, microbatches=2)

@@ -272,8 +272,19 @@ def _spec_block_multi(params, draft_params, cfg, draft_cfg, k: int, dtype,
                                            active, freqs_cis,
                                            read_bound=read_bound)
     v = lg_blk.shape[-1]
-    p = jnp.stack([probs_from_rows(lg_blk[:, t]) for t in range(k + 1)],
-                  axis=1)                                      # (B, k+1, V)
+    # one batched filter pipeline over all (slot, position) rows — k+1
+    # separate probs_from_rows calls would trace k+1 full-vocab
+    # argsort+cumsum pipelines in the latency-critical spec graph
+    pairs = lg_blk.reshape(batch, 2, k + 1, v).astype(jnp.float32)
+    cond_l, uncond_l = pairs[:, 0], pairs[:, 1]                # (B, k+1, V)
+    mixed = jnp.where((cfg_scales > 1.0)[:, None, None],
+                      uncond_l + (cond_l - uncond_l) * cfg_scales[:, None, None],
+                      cond_l)
+    filtered = filtered_logits_batched(
+        mixed.reshape(batch * (k + 1), v),
+        jnp.repeat(temps, k + 1), jnp.repeat(top_ks, k + 1),
+        jnp.repeat(top_ps, k + 1))
+    p = jax.nn.softmax(filtered, axis=-1).reshape(batch, k + 1, v)
 
     # ---- rejection sampling --------------------------------------------------
     p_d = jnp.take_along_axis(p[:, :k], d[..., None], axis=-1)[..., 0]
@@ -675,7 +686,8 @@ class ServeEngine:
                 self.model_params, self.cfg, self.draft_params,
                 self.draft_cfg, cond, r, sp.max_tokens, spec_k=self.spec_k,
                 cfg_scale=sp.cfg_scale, temperature=sp.temperature,
-                top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8))
+                top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8,
+                kv_int4=self.kv_int4))
         else:
             seqs = np.asarray(compiled_generate(
                 self.model_params, self.cfg, cond, r, sp.max_tokens,
