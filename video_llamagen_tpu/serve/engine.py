@@ -1078,6 +1078,23 @@ class ServeEngine:
             p *= 2
         return p
 
+    def export_artifacts(self, path: str, platforms=("tpu",),
+                         windows=None) -> str:
+        """Serialize every serving program this engine would dispatch into
+        portable StableHLO artifacts under `path` (serve/aot.py — the
+        deployable counterpart of vLLM's in-memory CUDA-graph capture,
+        ref model_runner.py:982-1160). Exports from shapes only; the
+        engine's weights are not written."""
+        from . import aot
+        arts = aot.export_serving_artifacts(
+            self.model_params, self.cfg, max_batch=self.max_batch,
+            max_seq=self.max_seq, dtype=self.dtype, kv_int8=self.kv_int8,
+            kv_int4=self.kv_int4, decode_window=self.decode_window,
+            windows=windows, platforms=platforms)
+        return aot.save_artifacts(path, arts, self.cfg, meta={
+            "max_batch": self.max_batch, "decode_window": self.decode_window,
+            "kv_int8": self.kv_int8, "kv_int4": self.kv_int4})
+
     def prewarm(self, windows=None) -> int:
         """Compile every decode-window graph the engine can dispatch —
         (window k) x (read bucket) — WITHOUT touching engine state: the
