@@ -173,6 +173,39 @@ def test_cross_lowering_for_tpu_from_cpu_host(params):
     assert tuple(back.platforms) == tuple(exp.platforms)
 
 
+def test_spec_block_artifact_bit_identical(params):
+    """Speculative serving block (latency mode) exports too, and the
+    deserialized graph reproduces the in-process dispatch bit for bit."""
+    draft_cfg = TINY.replace(n_layer=1)
+    draft_params = randomize_head(
+        gpt.init_gpt_params(jax.random.key(5), draft_cfg), key=6)
+    arts = aot.export_serving_artifacts(
+        params, TINY, max_batch=BATCH, decode_window=1, windows=[1],
+        draft_params=draft_params, draft_cfg=draft_cfg, spec_k=2,
+        platforms=("cpu",))
+    assert f"spec_k2_rb{MAX_SEQ}" in arts
+    back = jax.export.deserialize(arts[f"spec_k2_rb{MAX_SEQ}"].serialize())
+
+    cache = gpt.init_kv_cache(TINY, ROWS, MAX_SEQ, jnp.float32)
+    dcache = gpt.init_kv_cache(draft_cfg, ROWS, MAX_SEQ + 3, jnp.float32)
+    a = _decode_args(params, cache)
+    dfreqs = gpt.precompute_freqs_2d(draft_cfg.grid_size, draft_cfg.head_dim,
+                                     draft_cfg.rope_base,
+                                     draft_cfg.cls_token_num)
+    key = jax.random.key(21)
+    toks_d, n_d, _, _, _ = eng_mod._spec_block_multi(
+        params, draft_params, TINY, draft_cfg, 2, jnp.dtype("float32"),
+        jnp.dtype("float32"), a["slot_tokens"], a["pos"], cache, dcache,
+        a["active"], a["freqs"], dfreqs, a["cfg_scales"], a["temps"],
+        a["top_ks"], a["top_ps"], key, read_bound=MAX_SEQ)
+    toks_a, n_a, _, _, _ = back.call(
+        params, draft_params, a["slot_tokens"], a["pos"], cache, dcache,
+        a["active"], a["freqs"], dfreqs, a["cfg_scales"], a["temps"],
+        a["top_ks"], a["top_ps"], jax.random.key_data(key))
+    assert (np.asarray(toks_a) == np.asarray(toks_d)).all()
+    assert (np.asarray(n_a) == np.asarray(n_d)).all()
+
+
 def test_engine_export_artifacts_method(params, tmp_path):
     from video_llamagen_tpu.serve.engine import ServeEngine
     eng = ServeEngine(params, TINY, max_batch=2, dtype=jnp.float32,

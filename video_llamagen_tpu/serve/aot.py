@@ -91,6 +91,9 @@ def export_serving_artifacts(params, cfg: GPTConfig, *, max_batch: int,
                              kv_int8: bool = False, kv_int4: bool = False,
                              decode_window: int = 1,
                              windows: Optional[Sequence[int]] = None,
+                             draft_params=None,
+                             draft_cfg: Optional[GPTConfig] = None,
+                             spec_k: int = 4, ddtype=None,
                              platforms: Sequence[str] = ("tpu",),
                              ) -> Dict[str, jexport.Exported]:
     """Export the full serving graph set for one engine configuration.
@@ -175,6 +178,35 @@ def export_serving_artifacts(params, cfg: GPTConfig, *, max_batch: int,
             jax.jit(scatter_fn), platforms=list(platforms))(
                 cache_s[0], _sds(mini_entry_s),
                 jax.ShapeDtypeStruct((m,), jnp.int32))
+
+    # ---- speculative serving blocks (latency mode), per read bucket ------
+    if draft_params is not None:
+        assert draft_cfg is not None
+        ddtype = jnp.dtype(ddtype or draft_cfg.dtype)
+        draft_s = _sds(draft_params)
+        dfreqs_s = jax.eval_shape(lambda: gpt.precompute_freqs_2d(
+            draft_cfg.grid_size, draft_cfg.head_dim, draft_cfg.rope_base,
+            t_cond))
+        dcache_s = jax.eval_shape(lambda: gpt.init_kv_cache(
+            draft_cfg, rows, max_seq + spec_k + 1, ddtype))
+
+        def spec_fn(rb):
+            def fn(p, dp, slot_tokens, pos, cache, dcache, active, freqs,
+                   dfreqs, cfg_scales, temps, top_ks, top_ps, key_data):
+                rng = jax.random.wrap_key_data(key_data)
+                toks, n, c, dc, rng_out = eng_mod._spec_block_multi(
+                    p, dp, cfg, draft_cfg, spec_k, dtype, ddtype,
+                    slot_tokens, pos, cache, dcache, active, freqs, dfreqs,
+                    cfg_scales, temps, top_ks, top_ps, rng, read_bound=rb)
+                # typed keys are a JAX-side convention — return raw key data
+                return toks, n, c, dc, jax.random.key_data(rng_out)
+            return jax.jit(fn)
+
+        for rb in read_buckets:
+            arts[f"spec_k{spec_k}_rb{rb}"] = jexport.export(
+                spec_fn(rb), platforms=list(platforms))(
+                    params_s, draft_s, i32b, rows_i, cache_s, dcache_s,
+                    rows_b, freqs_s, dfreqs_s, f32b, f32b, i32b, f32b, kd_s)
 
     return arts
 

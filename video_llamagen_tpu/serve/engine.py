@@ -1090,7 +1090,9 @@ class ServeEngine:
             self.model_params, self.cfg, max_batch=self.max_batch,
             max_seq=self.max_seq, dtype=self.dtype, kv_int8=self.kv_int8,
             kv_int4=self.kv_int4, decode_window=self.decode_window,
-            windows=windows, platforms=platforms)
+            windows=windows, draft_params=self.draft_params,
+            draft_cfg=self.draft_cfg, spec_k=self.spec_k,
+            ddtype=getattr(self, "ddtype", None), platforms=platforms)
         return aot.save_artifacts(path, arts, self.cfg, meta={
             "max_batch": self.max_batch, "decode_window": self.decode_window,
             "kv_int8": self.kv_int8, "kv_int4": self.kv_int4})
