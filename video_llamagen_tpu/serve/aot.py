@@ -53,9 +53,11 @@ def _register_quant_serialization():
     """Quantized param trees contain NamedTuple leaves; jax.export needs
     their pytree nodes registered with stable serialized names (idempotent
     across repeated imports/reloads)."""
+    from ..ops.qmatmul4 import PackedLinear4
     from ..ops.quant import QuantizedLinear, QuantizedLinear4
     for cls, name in ((QuantizedLinear, "vlg.QuantizedLinear"),
-                      (QuantizedLinear4, "vlg.QuantizedLinear4")):
+                      (QuantizedLinear4, "vlg.QuantizedLinear4"),
+                      (PackedLinear4, "vlg.PackedLinear4")):
         try:
             jexport.register_namedtuple_serialization(cls,
                                                       serialized_name=name)
