@@ -46,6 +46,9 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
         if weight_int4:
             from video_llamagen_tpu.ops.quant import quantize_gpt_params4
             p = quantize_gpt_params4(p)
+            if weight_int4 == "packed":
+                from video_llamagen_tpu.ops.qmatmul4 import pack_gpt_params4
+                p = pack_gpt_params4(p)
         return p
 
     params = jax.jit(fabricate)(jax.random.key(0))
@@ -94,7 +97,8 @@ def bench_offline(args):
                "iter_times": [round(t, 3) for t in times]}
         print(json.dumps(rec), flush=True)
         key = model + ("_w8" if args.weight_int8 else "") \
-                    + ("_w4" if args.weight_int4 else "") \
+                    + ("_w4p" if args.weight_int4 == "packed"
+                       else "_w4" if args.weight_int4 else "") \
                     + ("_kv8" if args.kv_int8 else "") \
                     + ("_kv4" if args.kv_int4 else "")
         out[key] = rec
@@ -189,7 +193,8 @@ def bench_online(args):
         key = (f"{args.models[0]}_b{args.batch}_w{args.decode_window}"
                f"_r{rate}"
                + ("_w8" if args.weight_int8 else "")
-               + ("_w4" if args.weight_int4 else "")
+               + ("_w4p" if args.weight_int4 == "packed"
+                  else "_w4" if args.weight_int4 else "")
                + ("_kv8" if args.kv_int8 else "")
                + ("_kv4" if args.kv_int4 else ""))
         _merge("bench_serving_online.json", {key: rec})
@@ -218,6 +223,9 @@ def main():
     p.add_argument("--weight-int4", action="store_true",
                    help="grouped int4 weights, W4A16 (ops/quant.py "
                         "QuantizedLinear4; quarter the bf16 weight stream)")
+    p.add_argument("--weight-int4-packed", action="store_true",
+                   help="W4A16 via the nibble-packed Pallas kernel "
+                        "(ops/qmatmul4.py) instead of the XLA s4 einsum")
     p.add_argument("--kv-int8", action="store_true")
     p.add_argument("--draft-model", default=None,
                    help="enable speculative serving with this draft GPT "
@@ -234,6 +242,8 @@ def main():
     p.add_argument("--num-requests", type=int, default=32)
     p.add_argument("--decode-window", type=int, default=16)
     args = p.parse_args()
+    if args.weight_int4_packed:
+        args.weight_int4 = "packed"   # build() packs after quantizing
     if args.mode == "offline":
         bench_offline(args)
     else:

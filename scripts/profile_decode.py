@@ -43,6 +43,9 @@ def run_cfg(name, model, batch, n_tokens, cfg_scale, top_k, sample_logits,
     if weight_int4:
         from video_llamagen_tpu.ops.quant import quantize_gpt_params4
         params = quantize_gpt_params4(params)
+        if weight_int4 == "packed":
+            from video_llamagen_tpu.ops.qmatmul4 import pack_gpt_params4
+            params = pack_gpt_params4(params)
     cond = jnp.arange(batch, dtype=jnp.int32) % cfg.num_classes
 
     def run(seed):
@@ -114,6 +117,9 @@ CONFIGS = {
     "Q_w4_kv8": ("GPT-L", 8, 576, 2.0, 1000, True,
                  {"weight_int4": True, "kv_int8": True}),
     "Q_b1_w4": ("GPT-L", 1, 576, 2.0, 1000, True, {"weight_int4": True}),
+    "Q_b1_w4p": ("GPT-L", 1, 576, 2.0, 1000, True,
+                 {"weight_int4": "packed"}),   # nibble-packed Pallas kernel
+    "Q_w4p": ("GPT-L", 8, 576, 2.0, 1000, True, {"weight_int4": "packed"}),
     "Q_b1_bf16": ("GPT-L", 1, 576, 2.0, 1000, True, {}),
     "Q_b1_w8": ("GPT-L", 1, 576, 2.0, 1000, True, {"weight_int8": True}),
     # generate-path twin of the serving probe's variant A (same batch/dtype/

@@ -28,7 +28,10 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     (grouped, AWQ/GPTQ-style) from ops/quant.py — so quantized param trees
     flow through every forward/decode path unchanged (vLLM
     weight-quantization analog)."""
-    if not isinstance(w, jnp.ndarray) and hasattr(w, "q"):
+    if not isinstance(w, jnp.ndarray) and hasattr(w, "pq"):
+        from .qmatmul4 import qmatmul4   # nibble-packed Pallas W4 path
+        y = qmatmul4(x, w)
+    elif not isinstance(w, jnp.ndarray) and hasattr(w, "q"):
         from .quant import QuantizedLinear4, qlinear, qlinear4
         y = qlinear4(x, w) if isinstance(w, QuantizedLinear4) else qlinear(x, w)
     else:

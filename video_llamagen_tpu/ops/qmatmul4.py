@@ -31,20 +31,12 @@ vendors it); grouping matches ops/quant.QuantizedLinear4.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .quant import QuantizedLinear4
-
-
-class PackedLinear4(NamedTuple):
-    """Nibble-packed W4 weights: pq (in//2, out) uint8 (offset-8 nibbles,
-    group-half layout — see module doc), gscale (in//group, out) f32."""
-    pq: jnp.ndarray
-    gscale: jnp.ndarray
+from .quant import PackedLinear4, QuantizedLinear4
 
 
 def pack_int4(wq: QuantizedLinear4) -> PackedLinear4:
@@ -115,3 +107,39 @@ def qmatmul4_pallas(x: jnp.ndarray, packed: PackedLinear4,
         interpret=interpret,
     )(x, packed.pq, packed.gscale)
     return out[:r]
+
+
+def _pick_out_tile(out_dim: int) -> int:
+    """Largest tile <= 256 dividing out_dim (lane-multiple preferred)."""
+    for t in (256, 128, 192, 96, 64, 32, 16, 8):
+        if out_dim % t == 0:
+            return t
+    return out_dim
+
+
+def qmatmul4(x: jnp.ndarray, packed: PackedLinear4) -> jnp.ndarray:
+    """Production entry: any leading batch dims; interpret mode picked by
+    backend (the TPU kernel path has no CPU lowering — CPU runs interpret,
+    whose timings say nothing). ops/nn.linear dispatches here on
+    PackedLinear4 leaves."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = qmatmul4_pallas(x2, packed,
+                          out_tile=_pick_out_tile(packed.pq.shape[1]),
+                          interpret=jax.default_backend() != "tpu")
+    return out.reshape(*lead, -1)
+
+
+def pack_gpt_params4(params):
+    """QuantizedLinear4 tree -> PackedLinear4 tree (stacked layer leaves
+    pack under vmap). Composes with quant.quantize_gpt_params4; ServeEngine
+    pass-through accepts the result (is_quantized_leaf covers it)."""
+    def walk(t):
+        if isinstance(t, QuantizedLinear4):
+            if t.q.ndim == 3:          # (L, in, out) layer-stacked
+                return jax.vmap(pack_int4)(t)
+            return pack_int4(t)
+        if isinstance(t, dict):
+            return {k: walk(v) for k, v in t.items()}
+        return t
+    return walk(params)

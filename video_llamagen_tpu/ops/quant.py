@@ -58,6 +58,15 @@ class QuantizedLinear4(NamedTuple):
     gscale: jnp.ndarray   # f32 (in // group, out)
 
 
+class PackedLinear4(NamedTuple):
+    """Nibble-PACKED W4 weights for the Pallas path (ops/qmatmul4.py):
+    pq (in//2, out) uint8 holds two offset-8 nibbles per byte in the
+    group-half layout; gscale as QuantizedLinear4. Lives here (not in
+    qmatmul4.py) so quant-leaf dispatch has no import cycle."""
+    pq: jnp.ndarray       # uint8 (in // 2, out)
+    gscale: jnp.ndarray   # f32 (in // group, out)
+
+
 def _group_size(in_dim: int, group: int) -> int:
     g = min(group, in_dim)
     while in_dim % g:
@@ -123,4 +132,4 @@ def quantize_gpt_params4(params: Dict[str, Any],
 
 
 def is_quantized_leaf(n) -> bool:
-    return isinstance(n, (QuantizedLinear, QuantizedLinear4))
+    return isinstance(n, (QuantizedLinear, QuantizedLinear4, PackedLinear4))

@@ -94,6 +94,11 @@ GPT_SHARDING_RULES: Tuple[Tuple[str, P], ...] = (
     # groups tile the input dim, so the input axis's mesh axis shards them
     (r".*(attention/wqkv|ffn/w[13]|output)/\.gscale$", P("fsdp", "tp")),
     (r".*(attention/wo|ffn/w2)/\.gscale$", P("tp", "fsdp")),
+    # PackedLinear4 pq (in//2, out): packed bytes tile the input dim the
+    # same way (group-half pairs stay within one group, so any fsdp shard
+    # boundary at a group multiple keeps bytes whole)
+    (r".*(attention/wqkv|ffn/w[13]|output)/\.pq$", P("fsdp", "tp")),
+    (r".*(attention/wo|ffn/w2)/\.pq$", P("tp", "fsdp")),
     # everything else (norms, small MLPs, biases) replicated
     (r".*", P()),
 )
