@@ -142,11 +142,27 @@ def main():
     }
     if not on_tpu:
         # the CPU smoke row is NOT a chip measurement — say so in-band so a
-        # tunnel outage at bench time can't be misread as a perf regression
-        rec["note"] = ("TPU tunnel unreachable at bench time; value is a "
-                       "tiny-model CPU smoke. Last measured on-chip: "
-                       "12404 tok/s (9.37x) GPT-L b128 int8-KV offline "
-                       "ladder, 8154 tok/s (6.16x) driver BENCH_r02.")
+        # tunnel outage (or the chip being held by scripts/chip_chain.sh:
+        # one TPU client at a time) at bench time can't be misread as a
+        # perf regression
+        note = ("TPU unreachable or busy at bench time; value is a "
+                "tiny-model CPU smoke. Last measured on-chip: "
+                "12404 tok/s (9.37x) GPT-L b128 int8-KV offline "
+                "ladder, 8154 tok/s (6.16x) driver BENCH_r02.")
+        try:  # fresher in-repo on-chip record from the chip chain, if any
+            import os
+            p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "results_chain", "bench_chain.json")
+            with open(p) as f:
+                chain = json.loads(f.read().strip().splitlines()[-1])
+            if "note" not in chain:  # only cite a REAL chip row
+                note += (f" This round's chain-recorded on-chip run: "
+                         f"{chain['value']} {chain['unit']} "
+                         f"(vs_baseline {chain['vs_baseline']}, "
+                         f"results_chain/bench_chain.json).")
+        except Exception:
+            pass
+        rec["note"] = note
     print(json.dumps(rec))
 
 
