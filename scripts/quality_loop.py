@@ -58,23 +58,28 @@ def _shape_mask(kind: int, cx, cy, r, ang, yy, xx):
             (np.abs(-sa * dx + ca * dy) <= r * 0.45))
 
 
-def render(cls: int, rs: np.random.RandomState) -> np.ndarray:
-    """One 64x64 uint8 image of class cls = shape*4 + color."""
+def render(cls: int, rs: np.random.RandomState, size: int = SIZE) -> np.ndarray:
+    """One size x size uint8 image of class cls = shape*4 + color.
+
+    Geometry scales with `size` but the random-draw SEQUENCE is unchanged,
+    so at size=64 the output is bit-identical to the round-2 dataset
+    (seed 0) — vq16_loop reuses this at 256 for the flagship tokenizer."""
+    s = size / 64.0
     shape_k, color_k = cls // 4, cls % 4
-    yy, xx = np.mgrid[0:SIZE, 0:SIZE].astype(np.float32)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     # smooth random background gradient (dim, so the shape dominates)
     g1, g2 = rs.rand(2) * 2 * np.pi
-    bg = (np.cos(g1) * xx + np.sin(g1) * yy) / SIZE
+    bg = (np.cos(g1) * xx + np.sin(g1) * yy) / size
     base = rs.rand(3) * 60 + 30
     img = base[None, None, :] + bg[..., None] * (rs.rand(3) * 40 - 20)
     # the class shape
-    cx, cy = rs.uniform(20, SIZE - 20, 2)
-    r = rs.uniform(10, 18)
+    cx, cy = rs.uniform(20 * s, size - 20 * s, 2)
+    r = rs.uniform(10 * s, 18 * s)
     ang = rs.uniform(0, 2 * np.pi)
     mask = _shape_mask(shape_k, cx, cy, r, ang, yy, xx)
     color = COLORS[color_k] * rs.uniform(0.8, 1.1)
     img = np.where(mask[..., None], color[None, None, :], img)
-    img += rs.randn(SIZE, SIZE, 3) * 2.0          # sensor noise
+    img += rs.randn(size, size, 3) * 2.0          # sensor noise
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

@@ -10,6 +10,7 @@ not comparable to published rFID, but a real distribution distance), and a
 reconstruction grid.
 
 Stages (one per invocation — chip runs stay under shell timeouts):
+  python scripts/vq16_loop.py data    # CPU-only; train auto-runs it if absent
   python scripts/vq16_loop.py train [--max-steps 3000 --disc-start 1000]
   python scripts/vq16_loop.py recon
 Results accumulate in results_vq16/quality.json.
@@ -41,7 +42,26 @@ def _record(key, value):
     print(f"recorded {key} -> {value}")
 
 
+def stage_data(args):
+    """Procedural 256px dataset (2048 train + 512 val, seed 0) — the same
+    16-class shape/color scenes as quality_loop, rendered at 256. Round 2
+    generated this file ad hoc and a round restart wiped it; now it is
+    reproducible in-repo (round-2 log.txt header: 'dataset: 2048 images
+    @256')."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from quality_loop import render
+    os.makedirs(ROOT, exist_ok=True)
+    rs = np.random.RandomState(0)
+    train = np.stack([render(i % 16, rs, size=SIZE) for i in range(2048)])
+    np.save(f"{ROOT}/train_images_256.npy", train)
+    val = np.stack([render(i % 16, rs, size=SIZE) for i in range(512)])
+    np.save(f"{ROOT}/val_images_256.npy", val)
+    print(f"dataset: {train.shape} train, {val.shape} val -> {ROOT}")
+
+
 def stage_train(args):
+    if not os.path.exists(f"{ROOT}/train_images_256.npy"):
+        stage_data(args)
     from video_llamagen_tpu.train import train_vq
     train_vq.main([
         "--vq-model", "VQ-16", "--image-size", str(SIZE),
@@ -97,7 +117,7 @@ def stage_recon(args):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("stage", choices=["train", "recon"])
+    p.add_argument("stage", choices=["data", "train", "recon"])
     p.add_argument("--max-steps", type=int, default=3000)
     p.add_argument("--disc-start", type=int, default=1000)
     args = p.parse_args()
