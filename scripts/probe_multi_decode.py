@@ -134,6 +134,10 @@ VARIANTS = {
     # the s4 buffers packed through the window dots, or upcast-materialize?
     "J": dict(batch=128, kv_int8=False, kv_int4=True),
     "K": dict(batch=64, kv_int8=False, kv_int4=True),
+    # past the bf16/int8 bandwidth knee: if J/K show s4 streams packed,
+    # b256 kv4 reads the same KV bytes/step as the b128 kv8 champion
+    # (12404 tok/s) with 2x the rows — the next headline candidate
+    "L": dict(batch=256, kv_int8=False, kv_int4=True),
 }
 
 if __name__ == "__main__":
