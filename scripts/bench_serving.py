@@ -34,22 +34,16 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
                      num_classes=1000, cls_token_num=1, model_type="c2i",
                      dtype="bfloat16")
 
-    # Fabricate bench weights in ONE jit (init -> bf16 cast -> optional int8
-    # quantize): XLA frees the f32/bf16 intermediates layer by layer, so peak
-    # HBM is the FINAL tree, not init+cast+quantize stacked. Eager fabrication
-    # OOMs GPT-3B (12.4 GB f32 alone) on this chip.
+    # Fabricate bench weights in ONE jit with LAYER-SEQUENTIAL peak memory
+    # (gpt.fabricate_gpt_params lax.scan): eager fabrication OOMs GPT-3B
+    # (12.4 GB f32 alone) and the earlier whole-tree-vmapped fused jit OOMed
+    # GPT-7B (f32[32,4096,11008] init temps, results_chain/gpt7b_w4_kv8.log).
+    quant = ("int4_packed" if weight_int4 == "packed" else
+             "int4" if weight_int4 else
+             "int8" if weight_int8 else None)
+
     def fabricate(key):
-        p = gpt.cast_params(gpt.init_gpt_params(key, cfg), jnp.bfloat16)
-        if weight_int8:
-            from video_llamagen_tpu.ops.quant import quantize_gpt_params
-            p = quantize_gpt_params(p)
-        if weight_int4:
-            from video_llamagen_tpu.ops.quant import quantize_gpt_params4
-            p = quantize_gpt_params4(p)
-            if weight_int4 == "packed":
-                from video_llamagen_tpu.ops.qmatmul4 import pack_gpt_params4
-                p = pack_gpt_params4(p)
-        return p
+        return gpt.fabricate_gpt_params(key, cfg, jnp.bfloat16, quant=quant)
 
     params = jax.jit(fabricate)(jax.random.key(0))
     draft_params = draft_cfg = None

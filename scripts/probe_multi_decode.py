@@ -113,7 +113,8 @@ def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4,
         np.asarray(toks)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(f"{name}: batch {batch} kv_int8={kv_int8} scalar_pos={scalar_pos} "
+    print(f"{name}: batch {batch} kv_int8={kv_int8} kv_int4={kv_int4} "
+          f"scalar_pos={scalar_pos} "
           f"window_s={best:.3f} ms/iter={1000*best/k:.2f} "
           f"tok/s={batch*k/best:.0f} compile_s={compile_s:.1f} "
           f"times={[round(t,3) for t in times]}", flush=True)

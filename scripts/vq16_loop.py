@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "results_vq16")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.join(REPO, "results_vq16")
 SIZE = 256
 
 
@@ -63,14 +63,19 @@ def stage_train(args):
     if not os.path.exists(f"{ROOT}/train_images_256.npy"):
         stage_data(args)
     from video_llamagen_tpu.train import train_vq
-    train_vq.main([
+    argv = [
         "--vq-model", "VQ-16", "--image-size", str(SIZE),
         "--global-batch-size", "16", "--max-steps", str(args.max_steps),
         "--disc-start", str(args.disc_start), "--log-every", "25",
         "--data-npy", f"{ROOT}/train_images_256.npy",
         "--results-dir", ROOT, "--ckpt-every", "1000", "--resume",
         "--remat",
-    ])
+    ]
+    if args.adaptive:
+        argv.append("--disc-adaptive-weight")
+    if args.ema:
+        argv.append("--ema")
+    train_vq.main(argv)
 
 
 def stage_recon(args):
@@ -82,7 +87,7 @@ def stage_recon(args):
     from video_llamagen_tpu.tokenizers.vq import model as vq
 
     vcfg = vq_config("VQ-16", dtype="bfloat16")
-    params = load_vq_orbax(f"{ROOT}/checkpoints", vcfg)
+    params = load_vq_orbax(f"{ROOT}/checkpoints", vcfg, ema=args.ema)
     val = np.load(f"{ROOT}/val_images_256.npy")
     recs = []
     # params as an ARGUMENT: closing over them ships the weights inside the
@@ -116,11 +121,22 @@ def stage_recon(args):
 
 
 def main():
+    global ROOT
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("stage", choices=["data", "train", "recon"])
     p.add_argument("--max-steps", type=int, default=3000)
     p.add_argument("--disc-start", type=int, default=1000)
+    p.add_argument("--dir", default="results_vq16",
+                   help="results dir under the repo root — a fresh dir "
+                        "trains from scratch (the round-3 fixed-weight run's "
+                        "post-disc checkpoints are not a resume base)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="train with --disc-adaptive-weight (ref "
+                        "vq_loss.py:109-115)")
+    p.add_argument("--ema", action="store_true",
+                   help="train with EMA params / evaluate the EMA weights")
     args = p.parse_args()
+    ROOT = os.path.join(REPO, args.dir)
     globals()[f"stage_{args.stage}"](args)
 
 

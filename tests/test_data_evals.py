@@ -470,3 +470,24 @@ def test_dynamic_sample_duration():
     d2 = T.DynamicSampleDuration(t_stride=1, extra_1=False)
     s, e = d2(16, 8, 8, np.random.RandomState(0))
     assert 8 <= e <= 16
+
+
+def test_checkpoint_missing_step_clear_error(tmp_path):
+    """A missing/nonexistent step must raise FileNotFoundError, not orbax's
+    misleading 'Must provide args of type Composite' ValueError (bit the
+    round-3 chip chain: sampling a checkpoint whose training never ran)."""
+    import pytest as _pytest
+    from video_llamagen_tpu.core.checkpoint import CheckpointManager
+    d = tmp_path / "ck"
+    d.mkdir()
+    cm = CheckpointManager(str(d), async_save=False)
+    with _pytest.raises(FileNotFoundError):
+        cm.restore({"a": jnp.zeros(2)}, step=None)     # empty dir
+    cm2 = CheckpointManager(str(d), async_save=False)
+    cm2.save(3, {"a": jnp.ones(2)})
+    cm2.wait()
+    with _pytest.raises(FileNotFoundError, match="step 1000"):
+        cm2.restore({"a": jnp.zeros(2)}, step=1000)    # absent step
+    out = cm2.restore({"a": jnp.zeros(2)}, step=3)
+    np.testing.assert_allclose(np.asarray(out["a"]), 1.0)
+    cm.close(); cm2.close()

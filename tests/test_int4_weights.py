@@ -150,3 +150,59 @@ def test_sharding_rules_place_gscale_like_q(params):
     # and device_put over the full int4 tree succeeds (s4 leaves shard fine)
     sharded = pmesh.shard_params(qp, mesh)
     assert jax.tree_util.tree_leaves(sharded)[0] is not None
+
+
+def _tree_eq(a, b):
+    """Leaf equality up to 1-ulp fusion noise: scan-vs-vmap init fuses the
+    f32 RNG -> *std -> bf16 cast differently on a handful of elements
+    (~2/131072 observed), which can also flip a rounded int quant by 1.
+    A key-discipline bug would mismatch essentially every element."""
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)
+    for x, y in zip(la, lb):
+        assert x.dtype == y.dtype and x.shape == y.shape
+        xf = np.asarray(x).astype(np.float32)
+        yf = np.asarray(y).astype(np.float32)
+        if np.issubdtype(np.asarray(x).dtype, np.floating):
+            mismatch = ~np.isclose(xf, yf, rtol=1e-2, atol=1e-4)
+        elif np.asarray(x).dtype == np.uint8:  # packed: two nibbles per byte
+            xi, yi = np.asarray(x), np.asarray(y)
+            mismatch = (np.abs((xi // 16).astype(int) - (yi // 16)) > 1) \
+                | (np.abs((xi % 16).astype(int) - (yi % 16)) > 1)
+        else:
+            mismatch = np.abs(xf - yf) > 1.5   # ints: off-by-one rounding ok
+        assert mismatch.mean() < 1e-3, f"{mismatch.sum()} / {mismatch.size}"
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "int4", "int4_packed"])
+def test_fabricate_matches_fused_pipeline(quant):
+    """Layer-sequential fabrication (the GPT-7B OOM fix) is leaf-for-leaf
+    identical to quantize(cast(init)) — same key-split discipline."""
+    from video_llamagen_tpu.ops.quant import (quantize_gpt_params,
+                                              quantize_gpt_params4)
+    key = jax.random.key(7)
+    want = gpt.cast_params(gpt.init_gpt_params(key, TINY), jnp.bfloat16)
+    if quant == "int8":
+        want = quantize_gpt_params(want)
+    elif quant in ("int4", "int4_packed"):
+        want = quantize_gpt_params4(want, group=64)
+        if quant == "int4_packed":
+            from video_llamagen_tpu.ops.qmatmul4 import pack_gpt_params4
+            want = pack_gpt_params4(want)
+    got = jax.jit(lambda k: gpt.fabricate_gpt_params(
+        k, TINY, jnp.bfloat16, quant=quant, group=64))(key)
+    _tree_eq(got, want)
+
+
+def test_init_kv_cache_int4_buffers_distinct_and_donatable():
+    """init_kv_cache_int4 builds under ONE jit (eager s4 fill crashes over
+    the axon tunnel) — outputs must still be distinct, donation-safe
+    buffers for the engine's donated decode graphs."""
+    cache = gpt.init_kv_cache_int4(TINY, 2, 8)
+    ptrs = [v.unsafe_buffer_pointer() for e in cache for v in e.values()]
+    assert len(set(ptrs)) == len(ptrs)
+    bump = jax.jit(lambda c: jax.tree_util.tree_map(lambda x: x + 1, c),
+                   donate_argnums=(0,))
+    out = bump(cache)
+    assert out[0]["kT4"].dtype == jnp.int4

@@ -72,3 +72,66 @@ def test_stylegan_disc_shapes():
     out = vql.stylegan_disc_forward(p, x)
     assert out.shape == (2, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_adaptive_weight_matches_manual_grad_ratio():
+    """calculate_adaptive_weight == ||dnll/dw|| / (||dg/dw|| + 1e-4) with
+    stop_gradient semantics (ref vq_loss.py:109-115)."""
+    w = {"kernel": jax.random.normal(jax.random.key(0), (3, 3, 4, 3)) * 0.1,
+         "bias": jnp.zeros((3,))}
+    a = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    tgt = jax.random.normal(jax.random.key(2), (2, 8, 8, 3))
+    from video_llamagen_tpu.tokenizers.vq.model import decoder_head
+
+    nll_fn = lambda w: jnp.mean((decoder_head(w, a) - tgt) ** 2)
+    g_fn = lambda w: -jnp.mean(decoder_head(w, a))
+    got = vql.calculate_adaptive_weight(nll_fn, g_fn, w)
+
+    norm = lambda t: np.sqrt(sum(float(np.sum(np.square(np.asarray(x))))
+                                 for x in jax.tree_util.tree_leaves(t)))
+    want = norm(jax.grad(nll_fn)(w)) / (norm(jax.grad(g_fn)(w)) + 1e-4)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+    # clipped + detached: no gradient flows through it
+    outer = jax.grad(lambda w: vql.calculate_adaptive_weight(
+        lambda v: jnp.mean((decoder_head(v, a) - tgt) ** 2),
+        lambda v: -jnp.mean(decoder_head(v, a)), w) * 1.0)(w)
+    assert all(float(np.abs(np.asarray(x)).max()) == 0.0
+               for x in jax.tree_util.tree_leaves(outer))
+
+
+def test_forward_with_prehead_consistent():
+    from video_llamagen_tpu.tokenizers.vq import model as vq
+    params = vq.init_vq_params(jax.random.key(0), TINY)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    dec, losses, idx = vq.forward(params, TINY, x, train=True)
+    dec2, losses2, idx2, a = vq.forward_with_prehead(params, TINY, x,
+                                                     train=True)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dec2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+    np.testing.assert_allclose(
+        np.asarray(vq.decoder_head(params["decoder"]["conv_out"], a)),
+        np.asarray(dec), atol=1e-6)
+
+
+@pytest.mark.parametrize("disc_type", ["patchgan", "stylegan"])
+def test_vq_gan_iteration_adaptive_and_disc_types(disc_type):
+    """Full dual-optimizer iteration with disc_adaptive_weight ON and both
+    discriminator architectures plumbed through gen AND disc losses."""
+    mesh = pmesh.make_mesh(MeshConfig(data=8))
+    tcfg = TrainConfig(lr=1e-4)
+    state = train_vq.create_vq_train_state(jax.random.key(0), TINY, tcfg,
+                                           disc_type=disc_type, image_size=32)
+    gen_jit, disc_jit = train_vq.make_vq_train_steps(
+        TINY, tcfg, mesh, disc_start=0, disc_type=disc_type,
+        disc_adaptive_weight=True)
+    images = jax.device_put(
+        jax.random.normal(jax.random.key(1), (8, 32, 32, 3)),
+        pmesh.data_sharding(mesh, 4))
+    state, metrics = train_vq.train_iteration(state, images, gen_jit,
+                                              disc_jit)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["gen_total"]))
+    assert np.isfinite(float(metrics["d_adaptive"]))
+    assert float(metrics["d_adaptive"]) >= 0.0
+    # the disc branch actually used the selected arch: its grads moved params
+    assert np.isfinite(float(metrics["disc"]))

@@ -41,6 +41,13 @@ class CheckpointManager:
         step = step if step is not None else m.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self._dirs[0]}")
+        # Explicit membership check: orbax raises a misleading "Must provide
+        # `args` of type `Composite`" ValueError for a MISSING step (bit the
+        # round-3 chip chain, results_chain/gptL_sample1000.log).
+        if step not in m.all_steps():
+            raise FileNotFoundError(
+                f"step {step} not in {self._dirs[0]} "
+                f"(available: {sorted(m.all_steps())})")
         return m.restore(step, args=ocp.args.StandardRestore(state_like))
 
     def latest_step(self) -> Optional[int]:

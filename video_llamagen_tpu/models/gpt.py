@@ -59,6 +59,16 @@ def init_block_params(rng: jax.Array, cfg: GPTConfig) -> Params:
 
 
 def init_gpt_params(rng: jax.Array, cfg: GPTConfig) -> Params:
+    out = init_gpt_params_nonlayer(rng, cfg)
+    # stacked blocks: every leaf gets a leading (n_layer,) axis
+    layer_rngs = jax.random.split(jax.random.split(rng, 4)[1], cfg.n_layer)
+    out["layers"] = jax.vmap(lambda k: init_block_params(k, cfg))(layer_rngs)
+    return out
+
+
+def init_gpt_params_nonlayer(rng: jax.Array, cfg: GPTConfig) -> Params:
+    """Everything but the stacked blocks, with init_gpt_params' exact key
+    splits — fabricate_gpt_params scans the blocks separately."""
     r = jax.random.split(rng, 4)
     std = cfg.initializer_range
 
@@ -83,14 +93,9 @@ def init_gpt_params(rng: jax.Array, cfg: GPTConfig) -> Params:
     else:
         raise ValueError(f"unknown model_type {cfg.model_type}")
 
-    # stacked blocks: every leaf gets a leading (n_layer,) axis
-    layer_rngs = jax.random.split(r[1], cfg.n_layer)
-    layers = jax.vmap(lambda k: init_block_params(k, cfg))(layer_rngs)
-
     return {
         "cls_embedding": cls_embedding,
         "tok_embeddings": init_embedding(r[2], cfg.vocab_size, cfg.dim, std),
-        "layers": layers,
         "norm": jnp.ones((cfg.dim,), jnp.float32),
         # zero-init head (ref gpt.py:302-307)
         "output": init_linear(r[3], cfg.dim, cfg.vocab_size, std, zero=True),
@@ -110,6 +115,61 @@ def cast_params(params: Params, dtype) -> Params:
         else x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
         params, is_leaf=is_q,
     )
+
+
+def fabricate_gpt_params(rng: jax.Array, cfg: GPTConfig, dtype=jnp.bfloat16,
+                         quant: str | None = None, group: int = 128) -> Params:
+    """init -> cast -> quantize with LAYER-SEQUENTIAL peak memory.
+
+    `quantize_gpt_params*(cast_params(init_gpt_params(k)))` under one jit
+    vmaps the block init over all layers, so XLA materializes the full
+    stacked f32 tree plus quant temporaries at once — GPT-7B's FFN init
+    alone is a f32[32,4096,11008] (5.4 GB) temp and the fused fabrication
+    OOMs the 16 GB chip (results_chain/gpt7b_w4_kv8.log). Here the blocks
+    run through a lax.scan: one layer is initialized, cast, and quantized
+    per iteration, so peak HBM is the FINAL tree + one layer of f32 temps.
+
+    Uses the exact key-split discipline of init_gpt_params, so the output
+    equals quantize(cast(init)) leaf-for-leaf (tests pin this). quant in
+    (None, "int8", "int4", "int4_packed"); call under jit.
+    """
+    from ..ops.quant import quantize_weight, quantize_weight4
+
+    if quant == "int8":
+        qfn = quantize_weight
+    elif quant == "int4":
+        qfn = lambda w: quantize_weight4(w, group)
+    elif quant == "int4_packed":
+        from ..ops.qmatmul4 import pack_int4
+        qfn = lambda w: pack_int4(quantize_weight4(w, group))
+    elif quant is None:
+        qfn = None
+    else:
+        raise ValueError(f"unknown quant mode {quant!r}")
+
+    def cast(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
+    def one_layer(_, k):
+        blk = cast(init_block_params(k, cfg))
+        if qfn is not None:
+            blk = dict(blk,
+                       attention={"wqkv": qfn(blk["attention"]["wqkv"]),
+                                  "wo": qfn(blk["attention"]["wo"])},
+                       ffn={nm: qfn(blk["ffn"][nm])
+                            for nm in ("w1", "w3", "w2")})
+        return None, blk
+
+    full = init_gpt_params_nonlayer(rng, cfg)
+    layer_rngs = jax.random.split(jax.random.split(rng, 4)[1], cfg.n_layer)
+    _, layers = jax.lax.scan(one_layer, None, layer_rngs)
+    full = cast(full)
+    if qfn is not None:
+        full["output"] = qfn(full["output"])
+    full["layers"] = layers
+    return full
 
 
 def param_count(params: Params) -> int:
@@ -380,13 +440,22 @@ def init_kv_cache_int4(cfg: GPTConfig, batch: int, max_seq: int):
     """
     g = cfg.head_dim // KV_INT4_GROUP
     shape = (batch, cfg.kv_heads, cfg.head_dim, max_seq)
-    return [{"kT4": jnp.zeros(shape, jnp.int4),
-             "kT4_scale": jnp.zeros((batch, cfg.kv_heads, g, max_seq),
-                                    jnp.bfloat16),
-             "vT4": jnp.zeros(shape, jnp.int4),
-             "vT4_scale": jnp.zeros((batch, cfg.kv_heads, max_seq),
-                                    jnp.bfloat16)}
-            for _ in range(cfg.n_layer)]
+
+    # One jit for the whole tree: EAGER s4 zeros crashes over the axon
+    # tunnel ("Recursively calling jit" from the weak-scalar -> s4
+    # convert_element_type eager dispatch, results_chain/probe_kv4.log);
+    # under jit the fill lowers normally, and the outputs are distinct
+    # buffers (donation-safe — verified, no XLA output aliasing).
+    def mk():
+        return [{"kT4": jnp.zeros(shape, jnp.int4),
+                 "kT4_scale": jnp.zeros((batch, cfg.kv_heads, g, max_seq),
+                                        jnp.bfloat16),
+                 "vT4": jnp.zeros(shape, jnp.int4),
+                 "vT4_scale": jnp.zeros((batch, cfg.kv_heads, max_seq),
+                                        jnp.bfloat16)}
+                for _ in range(cfg.n_layer)]
+
+    return jax.jit(mk)()
 
 
 def cache_seq_len(cache) -> int:

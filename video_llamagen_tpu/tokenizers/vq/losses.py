@@ -254,38 +254,97 @@ def lpips(p: Params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 # Composite VQ loss (ref vq_loss.py:62-168)
 # ---------------------------------------------------------------------------
 
+DISC_FORWARDS = {"patchgan": patchgan_forward,
+                 "stylegan": stylegan_disc_forward}
+
+
+def init_disc_params(rng: jax.Array, disc_type: str = "patchgan",
+                     input_nc: int = 3, image_size: int = 256) -> Params:
+    """Discriminator init dispatch (ref vq_train.py --disc-type choice,
+    vq_loss.py:62-79)."""
+    if disc_type == "patchgan":
+        return init_patchgan_params(rng, input_nc=input_nc)
+    if disc_type == "stylegan":
+        return init_stylegan_disc_params(rng, input_nc=input_nc,
+                                         image_size=image_size)
+    raise ValueError(f"unknown disc_type {disc_type!r}")
+
+
+def calculate_adaptive_weight(nll_fn, g_fn, last_w) -> jnp.ndarray:
+    """‖∇_last nll‖ / (‖∇_last g‖ + 1e-4), clipped to [0, 1e4], detached
+    (ref vq_loss.py:109-115 calculate_adaptive_weight).
+
+    Balances the adversarial gradient against the reconstruction gradient at
+    the decoder's LAST LAYER so the disc can't blow up the generator — the
+    round-3 on-chip VQ-16 run lost 9 dB of held-out PSNR once the disc
+    engaged with a fixed weight (results_vq16). `nll_fn`/`g_fn` map the
+    last-layer params to the respective scalar losses with the trunk
+    activation held fixed, so each grad costs one loss-head backward, not a
+    decoder backward (torch's autograd.grad w.r.t. the leaf does the same)."""
+    norm = lambda t: jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32)))
+        for x in jax.tree_util.tree_leaves(t)))
+    w = norm(jax.grad(nll_fn)(last_w)) / (norm(jax.grad(g_fn)(last_w)) + 1e-4)
+    return jax.lax.stop_gradient(jnp.clip(w, 0.0, 1e4))
+
+
 def generator_loss(disc_params: Params, lpips_params: Optional[Params],
                    inputs: jnp.ndarray, recons: jnp.ndarray,
                    codebook_losses: Tuple, global_step: jnp.ndarray,
                    rec_loss_type: str = "l2", rec_weight: float = 1.0,
                    perceptual_weight: float = 1.0, disc_weight: float = 0.5,
-                   disc_start: int = 20000, gen_loss_type: str = "hinge"):
-    """optimizer_idx=0 branch (ref vq_loss.py:117-152). Returns (loss, parts)."""
-    if rec_loss_type == "l1":
-        rec = jnp.mean(jnp.abs(inputs - recons))
-    else:
-        rec = jnp.mean((inputs - recons) ** 2)
-    p_loss = (jnp.mean(lpips(lpips_params, recons, inputs))
+                   disc_start: int = 20000, gen_loss_type: str = "hinge",
+                   disc_type: str = "patchgan", adaptive: Optional[Tuple] = None):
+    """optimizer_idx=0 branch (ref vq_loss.py:117-152). Returns (loss, parts).
+
+    `adaptive`: optional (head_fn, prehead_act, last_layer_params) — enables
+    the reference's disc_adaptive_weight: head_fn(last_w, act) must rebuild
+    `recons` from the (stop-gradiented) trunk activation."""
+
+    def nll_of(r):
+        rec_ = (jnp.mean(jnp.abs(inputs - r)) if rec_loss_type == "l1"
+                else jnp.mean((inputs - r) ** 2))
+        p_ = (jnp.mean(lpips(lpips_params, r, inputs))
               if lpips_params is not None else jnp.zeros(()))
-    logits_fake = patchgan_forward(disc_params, recons)
-    g_loss = (hinge_gen_loss(logits_fake) if gen_loss_type == "hinge"
-              else non_saturating_gen_loss(logits_fake))
-    d_weight = adopt_weight(disc_weight, global_step, disc_start)
+        return rec_, p_
+
+    disc_fwd = DISC_FORWARDS[disc_type]
+
+    def g_of(r):
+        logits_fake = disc_fwd(disc_params, r)
+        return (hinge_gen_loss(logits_fake) if gen_loss_type == "hinge"
+                else non_saturating_gen_loss(logits_fake))
+
+    rec, p_loss = nll_of(recons)
+    g_loss = g_of(recons)
+
+    d_adaptive = jnp.ones(())
+    if adaptive is not None:
+        head_fn, act, last_w = adaptive
+        act = jax.lax.stop_gradient(act)
+        d_adaptive = calculate_adaptive_weight(
+            lambda w: (lambda rp: rec_weight * rp[0]
+                       + perceptual_weight * rp[1])(nll_of(head_fn(w, act))),
+            lambda w: g_of(head_fn(w, act)), last_w)
+
+    d_weight = adopt_weight(disc_weight, global_step, disc_start) * d_adaptive
     vq_loss_, commit_loss, entropy_loss = codebook_losses
     total = (rec_weight * rec + perceptual_weight * p_loss + d_weight * g_loss
              + vq_loss_ + commit_loss + entropy_loss)
     parts = {"rec": rec, "perceptual": p_loss, "gen_adv": g_loss,
              "vq": vq_loss_, "commit": commit_loss, "entropy": entropy_loss,
-             "d_weight": d_weight}
+             "d_weight": d_weight, "d_adaptive": d_adaptive}
     return total, parts
 
 
 def discriminator_loss(disc_params: Params, inputs: jnp.ndarray,
                        recons: jnp.ndarray, global_step: jnp.ndarray,
-                       disc_start: int = 20000, disc_loss_type: str = "hinge"):
+                       disc_start: int = 20000, disc_loss_type: str = "hinge",
+                       disc_type: str = "patchgan"):
     """optimizer_idx=1 branch on detached recons (ref vq_loss.py:155-168)."""
-    logits_real = patchgan_forward(disc_params, inputs)
-    logits_fake = patchgan_forward(disc_params, jax.lax.stop_gradient(recons))
+    disc_fwd = DISC_FORWARDS[disc_type]
+    logits_real = disc_fwd(disc_params, inputs)
+    logits_fake = disc_fwd(disc_params, jax.lax.stop_gradient(recons))
     fn = {"hinge": hinge_d_loss, "vanilla": vanilla_d_loss,
           "non-saturating": non_saturating_d_loss}[disc_loss_type]
     d_loss = adopt_weight(1.0, global_step, disc_start) * fn(logits_real,

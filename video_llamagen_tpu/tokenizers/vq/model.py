@@ -211,7 +211,10 @@ def init_decoder(rng, cfg: VQConfig) -> Params:
     return p
 
 
-def decoder_forward(p: Params, cfg: VQConfig, z: jnp.ndarray) -> jnp.ndarray:
+def decoder_prehead(p: Params, cfg: VQConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """Decoder trunk up to (but excluding) the final conv_out — the "last
+    layer" boundary for the GAN's adaptive disc weight (ref vq_loss.py:109-115
+    differentiates w.r.t. decoder.last_layer = conv_out.weight)."""
     rb_f, at_f = _block_fns(cfg)
     h = conv2d(z, p["conv_in"])
     h = rb_f(p["mid"]["res1"], h)
@@ -225,7 +228,16 @@ def decoder_forward(p: Params, cfg: VQConfig, z: jnp.ndarray) -> jnp.ndarray:
                 h = at_f(level["attn"][j], h)
         if i != n_levels - 1:
             h = upsample(level["upsample"], h)
-    return conv2d(swish(_gn(h, p["norm_out"])), p["conv_out"])
+    return swish(_gn(h, p["norm_out"]))
+
+
+def decoder_head(conv_out: Params, a: jnp.ndarray) -> jnp.ndarray:
+    """Final conv: prehead activation -> pixels."""
+    return conv2d(a, conv_out)
+
+
+def decoder_forward(p: Params, cfg: VQConfig, z: jnp.ndarray) -> jnp.ndarray:
+    return decoder_head(p["conv_out"], decoder_prehead(p, cfg, z))
 
 
 # ---------------------------------------------------------------------------
@@ -348,6 +360,17 @@ def forward(params: Params, cfg: VQConfig, x: jnp.ndarray, train: bool = False):
     z_q, losses, indices = encode(params, cfg, x, train)
     dec = decode(params, cfg, z_q)
     return dec, losses, indices
+
+
+def forward_with_prehead(params: Params, cfg: VQConfig, x: jnp.ndarray,
+                         train: bool = False):
+    """forward() that also returns the decoder prehead activation, for the
+    GAN trainer's adaptive disc weight (grads at the last-layer boundary)."""
+    z_q, losses, indices = encode(params, cfg, x, train)
+    h = conv2d(z_q, params["post_quant_conv"])
+    a = decoder_prehead(params["decoder"], cfg, h)
+    dec = decoder_head(params["decoder"]["conv_out"], a)
+    return dec, losses, indices, a
 
 
 def encode_indices(params: Params, cfg: VQConfig, x: jnp.ndarray) -> jnp.ndarray:

@@ -40,10 +40,14 @@ def make_vq_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def create_vq_train_state(rng: jax.Array, cfg: VQConfig, tcfg: TrainConfig,
-                          lpips_params: Optional[Any] = None) -> VQTrainState:
+                          lpips_params: Optional[Any] = None,
+                          disc_type: str = "patchgan",
+                          image_size: int = 256) -> VQTrainState:
     r1, r2 = jax.random.split(rng)
     params = vq.init_vq_params(r1, cfg)
-    disc_params = vql.init_patchgan_params(r2, input_nc=cfg.in_channels)
+    disc_params = vql.init_disc_params(r2, disc_type,
+                                       input_nc=cfg.in_channels,
+                                       image_size=image_size)
     opt = make_vq_optimizer(tcfg)
     ema = jax.tree_util.tree_map(jnp.copy, params) if tcfg.ema else None
     return VQTrainState(
@@ -60,7 +64,10 @@ def create_vq_train_state(rng: jax.Array, cfg: VQConfig, tcfg: TrainConfig,
 def make_vq_train_steps(cfg: VQConfig, tcfg: TrainConfig, mesh: Mesh,
                         disc_start: int = 20000,
                         perceptual_weight: float = 1.0,
-                        disc_weight: float = 0.5):
+                        disc_weight: float = 0.5,
+                        disc_type: str = "patchgan",
+                        disc_loss_type: str = "hinge",
+                        disc_adaptive_weight: bool = False):
     """Returns (generator_step, discriminator_step) — the two optimizer passes
     of each reference iteration (vq_train.py:184-216)."""
     optimizer = make_vq_optimizer(tcfg)
@@ -68,12 +75,21 @@ def make_vq_train_steps(cfg: VQConfig, tcfg: TrainConfig, mesh: Mesh,
     repl = pmesh.replicated(mesh)
 
     def gen_loss_fn(params, state: VQTrainState, images):
-        recons, codebook_losses, _ = vq.forward(params, cfg, images, train=True)
+        adaptive = None
+        if disc_adaptive_weight:
+            recons, codebook_losses, _, prehead = vq.forward_with_prehead(
+                params, cfg, images, train=True)
+            adaptive = (vq.decoder_head, prehead,
+                        params["decoder"]["conv_out"])
+        else:
+            recons, codebook_losses, _ = vq.forward(params, cfg, images,
+                                                    train=True)
         loss, parts = vql.generator_loss(
             state.disc_params, state.lpips_params, images, recons,
             codebook_losses, state.step,
             perceptual_weight=perceptual_weight,
-            disc_weight=disc_weight, disc_start=disc_start)
+            disc_weight=disc_weight, disc_start=disc_start,
+            disc_type=disc_type, adaptive=adaptive)
         return loss, (parts, recons)
 
     def gen_step(state: VQTrainState, images):
@@ -95,7 +111,8 @@ def make_vq_train_steps(cfg: VQConfig, tcfg: TrainConfig, mesh: Mesh,
         def loss_fn(disc_params):
             loss, parts = vql.discriminator_loss(
                 disc_params, images, recons, state.step,
-                disc_start=disc_start)
+                disc_start=disc_start, disc_loss_type=disc_loss_type,
+                disc_type=disc_type)
             return loss, parts
 
         (loss, parts), grads = jax.value_and_grad(
@@ -138,6 +155,16 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--disc-start", type=int, default=20000)
     p.add_argument("--disc-weight", type=float, default=0.5)
+    p.add_argument("--disc-type", choices=["patchgan", "stylegan"],
+                   default="patchgan",
+                   help="discriminator architecture (ref vq_train.py:294)")
+    p.add_argument("--disc-loss", choices=["hinge", "vanilla",
+                                           "non-saturating"], default="hinge",
+                   help="discriminator loss (ref vq_train.py:295)")
+    p.add_argument("--disc-adaptive-weight", action="store_true",
+                   help="balance adv vs NLL grad norms at the decoder last "
+                        "layer (ref vq_loss.py:109-115) — damps the disc "
+                        "blowing up reconstruction quality")
     p.add_argument("--perceptual-weight", type=float, default=1.0)
     p.add_argument("--ema", action="store_true")
     p.add_argument("--data", type=int, default=1)
@@ -181,11 +208,14 @@ def main(argv=None):
     lpips_params = None
     if args.lpips_weights:
         lpips_params = vql.load_lpips_npz(args.lpips_weights)
-    state = create_vq_train_state(jax.random.key(0), cfg, tcfg, lpips_params)
+    state = create_vq_train_state(jax.random.key(0), cfg, tcfg, lpips_params,
+                                  disc_type=args.disc_type, image_size=size)
     gen_jit, disc_jit = make_vq_train_steps(
         cfg, tcfg, mesh, disc_start=args.disc_start,
         perceptual_weight=args.perceptual_weight if lpips_params else 0.0,
-        disc_weight=args.disc_weight)
+        disc_weight=args.disc_weight, disc_type=args.disc_type,
+        disc_loss_type=args.disc_loss,
+        disc_adaptive_weight=args.disc_adaptive_weight)
 
     ckpt = None
     if args.data_npy or args.ckpt_every:
@@ -226,6 +256,7 @@ def main(argv=None):
             logger.info(f"step {steps} rec {float(metrics['rec']):.4f} "
                         f"vq {float(metrics['vq']):.4f} "
                         f"disc {float(metrics['disc']):.4f} "
+                        f"d_w {float(metrics['d_weight']):.4f} "
                         f"steps/s {args.log_every / dt:.2f}")
             last_t = time.time()
         if ckpt is not None and args.ckpt_every \
