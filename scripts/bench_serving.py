@@ -111,31 +111,23 @@ def bench_online(args):
                    weight_int4=args.weight_int4)
     sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
 
-    # Warm every compiled shape the Poisson run can hit BEFORE the clock
-    # starts: every power-of-two prefill bucket an admission can pad to
-    # (admissions of size m pad to pow2ceil(m), m <= max_batch) and decode
-    # windows {1, 8, window} (ramp-down windows no longer exist — finishing
-    # requests overshoot and trim). A cold compile mid-run costs minutes over
-    # the tunnel and would poison the latency percentiles.
+    # Compile every dispatchable graph BEFORE the clock starts — decode
+    # windows x read buckets AND the full admission set (prefill buckets,
+    # cohort sampler, device-arg updates): engine.prewarm() owns the
+    # complete set since the round-3 runs compiled the solo-admission
+    # (jobs=1) prefill cold MID-RUN, a ~60 s stall that queued every
+    # arrival behind it (TTFT p50 42-70 s at 2 req/s). Two short real
+    # drains after prewarm exercise the host paths end to end.
+    print(f"prewarm: {eng.prewarm()} graphs", flush=True)
     warm_sp = SamplingParams(max_tokens=3 * args.decode_window, cfg_scale=2.0,
                              top_k=1000)
-    warm_sizes = []
-    m = 1
-    while m < args.batch:
-        warm_sizes.append(m)
-        m *= 2
-    warm_sizes.append(args.batch)   # covers pow2ceil(batch) when not a pow2
     n_warmed = 0
-    for m in warm_sizes:
-        for i in range(m):     # prefix-cache MISS with the right jobs count:
-            # distinct warm conds (miss path compiles); kept below the CFG
-            # null class (== num_classes). The cache is cleared after
-            # warm-up, so overlap with the measured run's conds is fine.
+    for m in (1, args.batch):
+        for i in range(m):     # distinct warm conds, below the CFG null class
             eng.add_request(np.int32(100 + n_warmed % 899), warm_sp)
             n_warmed += 1
         while eng.has_unfinished():
             eng.step()
-    print(f"prewarm: {eng.prewarm()} decode graphs", flush=True)
     # Drop every prefix-cache entry the warm-up populated: for
     # --num-requests > 100 the warm conds (100..998) overlap the measured
     # run's conds (i % 1000), and serving warm entries would inflate

@@ -94,6 +94,16 @@ def _u8(x):
     return np.clip(127.5 * x + 128.0, 0, 255).astype(np.uint8)
 
 
+def _tag(args):
+    """Run tag: head (+_shuffle) (+_<model> for non-default trunks) — keys
+    the gpt_<tag> checkpoint dir and samples_<tag> artifacts, so a GPT-L
+    scale-up row (VERDICT r3 #6) never clobbers the GPT-B run."""
+    t = args.head + ("_shuffle" if args.shuffle_tokens else "")
+    if args.gpt_model != "GPT-B":
+        t += "_" + args.gpt_model.replace("GPT-", "").lower()
+    return t
+
+
 def _gpt_cfg(args):
     from video_llamagen_tpu.core.config import gpt_config
     return gpt_config(args.gpt_model, vocab_size=16384, block_size=64,
@@ -172,7 +182,7 @@ def stage_train(args):
     from video_llamagen_tpu.train.train_video import (
         create_video_train_state, make_video_train_step, video_state_shardings)
 
-    tag = args.head + ("_shuffle" if args.shuffle_tokens else "")
+    tag = _tag(args)
     outdir = f"{ROOT}/gpt_{tag}"
     logger = create_logger(outdir)
     cfg = _gpt_cfg(args)
@@ -222,7 +232,7 @@ def stage_train(args):
 
 def _load_trained(args, cfg):
     import jax
-    tag = args.head + ("_shuffle" if args.shuffle_tokens else "")
+    tag = _tag(args)
     pkl = f"{ROOT}/gpt_{tag}/params.npy"
     if os.path.exists(pkl):
         params = np.load(pkl, allow_pickle=True)[0]
@@ -248,7 +258,7 @@ def stage_export(args):
     from video_llamagen_tpu.core.checkpoint import CheckpointManager
     from video_llamagen_tpu.core.config import TrainConfig
     from video_llamagen_tpu.train.train_video import create_video_train_state
-    tag = args.head + ("_shuffle" if args.shuffle_tokens else "")
+    tag = _tag(args)
     cfg = _gpt_cfg(args)
     template = create_video_train_state(jax.random.key(0), cfg,
                                         TrainConfig(lr=1e-4))
@@ -273,7 +283,7 @@ def stage_sample(args):
         tag = "random"
     else:
         params = _load_trained(args, cfg)
-        tag = args.head + ("_shuffle" if args.shuffle_tokens else "")
+        tag = _tag(args)
     if args.uncond:
         tag += "_uncond"
     import jax.tree_util as jtu

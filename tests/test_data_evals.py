@@ -491,3 +491,46 @@ def test_checkpoint_missing_step_clear_error(tmp_path):
     out = cm2.restore({"a": jnp.zeros(2)}, step=3)
     np.testing.assert_allclose(np.asarray(out["a"]), 1.0)
     cm.close(); cm2.close()
+
+
+def test_load_params_subtree_matches_full_restore(tmp_path):
+    """Params-only fast restore (VERDICT r3 #7) returns the same params as
+    the full StandardRestore, prefers EMA when asked, falls back when the
+    run had no EMA, and casts on host when dtype is given."""
+    import jax
+    from video_llamagen_tpu.core.checkpoint import (CheckpointManager,
+                                                    load_gpt_orbax)
+    from video_llamagen_tpu.core.config import GPTConfig, TrainConfig
+    from video_llamagen_tpu.train.train_state import create_train_state
+    cfg = GPTConfig(dim=64, n_layer=2, n_head=4, vocab_size=64, block_size=16,
+                    num_classes=4, cls_token_num=1, model_type="c2i",
+                    dtype="float32")
+    st = create_train_state(jax.random.key(1), cfg, TrainConfig(ema=True))
+    st = st._replace(ema_params=jax.tree_util.tree_map(
+        lambda x: x + 1.0, st.params))          # make EMA distinguishable
+    d = tmp_path / "ck"
+    cm = CheckpointManager(str(d), async_save=False)
+    cm.save(7, st._asdict())
+    cm.wait(); cm.close()
+
+    got = load_gpt_orbax(str(d), cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    got_ema = load_gpt_orbax(str(d), cfg, ema=True)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(got_ema)[0]),
+        np.asarray(jax.tree_util.tree_leaves(st.ema_params)[0]))
+    got_bf16 = load_gpt_orbax(str(d), cfg, dtype="bfloat16")
+    assert jax.tree_util.tree_leaves(got_bf16)[0].dtype == jnp.bfloat16
+
+    # no-EMA checkpoint: ema=True falls back to params
+    st2 = create_train_state(jax.random.key(2), cfg, TrainConfig(ema=False))
+    d2 = tmp_path / "ck2"
+    cm2 = CheckpointManager(str(d2), async_save=False)
+    cm2.save(1, st2._asdict())
+    cm2.wait(); cm2.close()
+    got2 = load_gpt_orbax(str(d2), cfg, ema=True)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(got2)[0]),
+        np.asarray(jax.tree_util.tree_leaves(st2.params)[0]))

@@ -102,3 +102,30 @@ def test_prep_image_json(tmp_path):
     by_path = {r["path"]: r["cap"] for r in recs}
     assert by_path["cls0/b.jpg"] == ["a tiny caption"]
     assert by_path["cls0/a.png"] == []
+
+
+def test_t2i_quality_color_classifier_and_features():
+    """t2i quality loop pieces that don't need the chip: the pixel color
+    classifier must read quality_loop-rendered shapes correctly, and the
+    pseudo-T5 caption features must be deterministic and class-distinct."""
+    import importlib.util, os, sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    import numpy as np
+    from quality_loop import render
+    spec = importlib.util.spec_from_file_location(
+        "t2i_quality", os.path.join(root, "scripts", "t2i_quality.py"))
+    t2i = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t2i)
+
+    rs = np.random.RandomState(0)
+    imgs = np.stack([render(c, rs) for c in range(16) for _ in range(4)])
+    labels = np.repeat(np.arange(16), 4)
+    acc = (t2i.classify_color(imgs) == labels % 4).mean()
+    assert acc > 0.9, acc
+
+    f1, f2 = t2i.caption_features(), t2i.caption_features()
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.shape == (16, 120, 512)
+    # distinct per class
+    assert np.abs(f1[0] - f1[1]).mean() > 0.1

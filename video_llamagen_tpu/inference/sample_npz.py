@@ -63,6 +63,10 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--kv-int8", action="store_true")
+    p.add_argument("--kv-int4", action="store_true",
+                   help="s4 KV cache (quarter stream; per-group K scales) — "
+                        "the quality gate for defaulting it lives in "
+                        "scripts/kv_quality_gate.py")
     p.add_argument("--draft-model", default=None,
                    help="draft GPT for speculative decoding "
                         "(inference/speculative.py); output distribution is "
@@ -154,7 +158,8 @@ def main(argv=None):
                             cfg_scale=args.cfg_scale,
                             cfg_interval=args.cfg_interval,
                             temperature=args.temperature, top_k=args.top_k,
-                            top_p=args.top_p, kv_int8=args.kv_int8)
+                            top_p=args.top_p, kv_int8=args.kv_int8,
+                            kv_int4=args.kv_int4)
         imgs = vq.decode_code(vparams, vcfg, toks, latent_hw=(latent, latent))
         u8 = np.asarray(jnp.clip(127.5 * imgs + 128.0, 0, 255)
                         ).astype(np.uint8)[:b]

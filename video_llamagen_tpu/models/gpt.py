@@ -1199,7 +1199,7 @@ def _attn_two_source(q, read, big_mask, win, win_mask, n_rep: int):
     pb, pw = probs[..., : sb.shape[-1]], probs[..., sb.shape[-1]:]
     attn = (_source_attn(pb, read, n_rep)
             + _source_attn(pw, win, n_rep)).astype(q.dtype)
-    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, h * d)
+    return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, q.shape[1], h * d)
 
 
 def decode_step_window(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
@@ -1262,6 +1262,77 @@ def decode_step_window(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = linear(h, params["output"]).astype(jnp.float32)[:, 0]
+    return logits, new_bufs
+
+
+def decode_block_window(params: Params, cfg: GPTConfig,
+                        token_emb: jnp.ndarray, pos0: jnp.ndarray, reads,
+                        big_mask, win_bufs, freqs_cis: jnp.ndarray):
+    """Block-extend T tokens per row inside a FROZEN-cache window.
+
+    The window analog of decode_block_multi (the speculative verify pass):
+    the big cache enters only as read views (window_sources), the block's
+    own K/V land in the small window buffers, and the caller commits them
+    per layer afterwards (commit_entry). This keeps the spec graph from
+    taking AND returning both caches — on the axon AOT path that reserved
+    unaliased in+out, ~2x cache HBM (VERDICT r3 weak-item #5).
+
+    token_emb (B, T, dim) at absolute positions [pos0[b], pos0[b]+T);
+    attention is block-causal: big cols gated by big_mask (cols < pos0,
+    broadcast over T), window col j visible to block row i iff j <= i.
+    Returns (logits (B, T, vocab), win_bufs)."""
+    b, t, _ = token_emb.shape
+    k_win = win_bufs[0]["k"].shape[2]
+    freqs_b = freqs_cis[pos0[:, None] + jnp.arange(t)[None, :]]
+    win_mask = (jnp.arange(k_win)[None, :]
+                <= jnp.arange(t)[:, None])[None, None]          # (1,1,T,k)
+    n_rep = cfg.n_head // cfg.kv_heads
+    h = token_emb
+
+    def rope_b(x):
+        orig = x.dtype
+        xs = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        f = freqs_b[:, :, None]                          # (B,T,1,pairs,2)
+        cos, sin = f[..., 0], f[..., 1]
+        xr, xi = xs[..., 0], xs[..., 1]
+        out = jnp.stack([xr * cos - xi * sin, xi * cos + xr * sin], axis=-1)
+        return out.reshape(x.shape).astype(orig)
+
+    new_bufs = []
+    for li in range(cfg.n_layer):
+        lp = _layer_params(params, li)
+        hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        kv_size = cfg.kv_heads * cfg.head_dim
+        qkv = linear(hn, lp["attention"]["wqkv"])
+        q, k, v = jnp.split(qkv, [cfg.dim, cfg.dim + kv_size], axis=-1)
+        q = rope_b(q.reshape(b, t, cfg.n_head, cfg.head_dim))
+        k = rope_b(k.reshape(b, t, cfg.kv_heads, cfg.head_dim))
+        v = v.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+
+        wb = win_bufs[li]
+        k_rows = jnp.transpose(k, (0, 2, 1, 3))                 # (B,KH,T,D)
+        v_rows = jnp.transpose(v, (0, 2, 1, 3))
+        if "k_scale" in wb:
+            nb = {}
+            for name, x in (("k", k_rows), ("v", v_rows)):
+                q8, sc = _quantize_kv(x)
+                nb[name] = jax.lax.dynamic_update_slice(
+                    wb[name], q8, (0, 0, 0, 0))
+                nb[name + "_scale"] = jax.lax.dynamic_update_slice(
+                    wb[name + "_scale"], sc, (0, 0, 0, 0))
+        else:
+            nb = {"k": jax.lax.dynamic_update_slice(
+                      wb["k"], k_rows.astype(wb["k"].dtype), (0, 0, 0, 0)),
+                  "v": jax.lax.dynamic_update_slice(
+                      wb["v"], v_rows.astype(wb["v"].dtype), (0, 0, 0, 0))}
+        new_bufs.append(nb)
+
+        attn = _attn_two_source(q, reads[li], big_mask, nb, win_mask, n_rep)
+        h = h + linear(attn, lp["attention"]["wo"])
+        h = h + _ffn(lp, rms_norm(h, lp["ffn_norm"], cfg.norm_eps))
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = linear(h, params["output"]).astype(jnp.float32)
     return logits, new_bufs
 
 

@@ -196,12 +196,16 @@ def export_serving_artifacts(params, cfg: GPTConfig, *, max_batch: int,
             def fn(p, dp, slot_tokens, pos, cache, dcache, active, freqs,
                    dfreqs, cfg_scales, temps, top_ks, top_ps, key_data):
                 rng = jax.random.wrap_key_data(key_data)
-                toks, n, c, dc, rng_out = eng_mod._spec_block_multi(
+                # frozen-cache form: caches are read-only inputs and the
+                # block's new KV comes back as small window buffers (the
+                # engine commits per layer) — exporting a graph that took
+                # AND returned both caches reserved unaliased in+out
+                toks, n, twin, dwin, rng_out = eng_mod._spec_block_multi(
                     p, dp, cfg, draft_cfg, spec_k, dtype, ddtype,
                     slot_tokens, pos, cache, dcache, active, freqs, dfreqs,
                     cfg_scales, temps, top_ks, top_ps, rng, read_bound=rb)
                 # typed keys are a JAX-side convention — return raw key data
-                return toks, n, c, dc, jax.random.key_data(rng_out)
+                return toks, n, twin, dwin, jax.random.key_data(rng_out)
             return jax.jit(fn)
 
         for rb in read_buckets:

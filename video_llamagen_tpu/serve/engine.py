@@ -91,6 +91,67 @@ def _insert_entry_rows(entry, r, slot):
             for name in entry}
 
 
+@jax.jit
+def _first_token_sample(cond_l, uncond_l, scales, temps, top_ks, top_ps,
+                        min_ps, rng):
+    """First token for a whole admission cohort in ONE dispatch + ONE host
+    sync (the per-request sample_token/int() loop cost a blocking round
+    trip per request over the network-attached chip — at 2 req/s that
+    overhead alone dominated online TTFT, results_chain/online_b64.log).
+
+    cond_l/uncond_l (M, V); per-request params (M,). Rows with scale<=1
+    pass cond_l through unmixed (uncond_l is ignored — callers may alias).
+    Matches the decode window's extras path exactly: filtered_logits_batched
+    (min_p included — it applies to the first token, penalties don't) then
+    categorical; returns (tokens (M,), logprobs (M,))."""
+    mixed = jnp.where((scales > 1.0)[:, None],
+                      uncond_l + (cond_l - uncond_l) * scales[:, None],
+                      cond_l).astype(jnp.float32)
+    filt = filtered_logits_batched(mixed, temps, top_ks, top_ps, min_p=min_ps)
+    toks = jax.random.categorical(rng, filt, axis=-1)
+    lps = jnp.take_along_axis(jax.nn.log_softmax(filt, axis=-1),
+                              toks[:, None], axis=-1)[:, 0]
+    return toks, lps
+
+
+@functools.partial(jax.jit, donate_argnums=tuple(range(8)))
+def _dev_admit_update(slot_tokens, pos, active, col_valid, cfg_scales, temps,
+                      top_ks, top_ps, slots, toks, pos_val, act_c, act_u,
+                      col_c, col_u, scs, tes, tks, tps):
+    """Apply an admission cohort to the device-resident step args IN PLACE
+    (donated) instead of invalidating them: a full `_dev = None` re-upload
+    is ~8 host->device round trips, and at low arrival rates nearly every
+    window has an admission, so the round-3 device-residency win never
+    engaged (online rate-2 steps ran 2.2 s vs 0.7 s at rate 4). Padded
+    cohorts repeat the last slot — duplicate scatter indices write the same
+    values."""
+    rows_c, rows_u = 2 * slots, 2 * slots + 1
+    return (slot_tokens.at[slots].set(toks),
+            pos.at[rows_c].set(pos_val).at[rows_u].set(pos_val),
+            active.at[rows_c].set(act_c).at[rows_u].set(act_u),
+            col_valid.at[rows_c].set(col_c).at[rows_u].set(col_u),
+            cfg_scales.at[slots].set(scs),
+            temps.at[slots].set(tes),
+            top_ks.at[slots].set(tks),
+            top_ps.at[slots].set(tps))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _dev_finish_update(pos, active, slots):
+    """Retire finished slots on device (companion to _dev_admit_update)."""
+    rows_c, rows_u = 2 * slots, 2 * slots + 1
+    z = jnp.zeros_like(slots)
+    return (pos.at[rows_c].set(z).at[rows_u].set(z),
+            active.at[rows_c].set(False).at[rows_u].set(False))
+
+
+def _pow2ceil(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _fork_entry_rows(entry, src, dst):
     """Copy one layer's cache rows `src` onto rows `dst` in place (donated).
@@ -210,25 +271,26 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
 def _spec_block_multi(params, draft_params, cfg, draft_cfg, k: int, dtype,
                       ddtype, slot_tokens, pos, cache, draft_cache, active,
                       freqs_cis, draft_freqs, cfg_scales, temps, top_ks,
-                      top_ps, rng, read_bound=None):
+                      top_ps, rng, read_bound=None, col_valid=None):
     """One speculative block for the continuous-batching engine: the draft
-    proposes k tokens per slot (k cached steps + tail write), the target
-    scores all k+1 positions in ONE decode_block_multi pass, and standard
-    rejection sampling emits 1..k+1 tokens per slot — exactly
+    proposes k tokens per slot (k frozen-window steps + tail write), the
+    target scores all k+1 positions in ONE decode_block_window pass, and
+    standard rejection sampling emits 1..k+1 tokens per slot — exactly
     target-distributed (inference/speculative.py has the math; this variant
     adds PER-REQUEST sampling params via filtered_logits_batched).
 
     slot_tokens (B,) last sampled token per slot; pos (2B,) per-row cache
     positions; active (2B,). Returns (tokens (B, k+1), n_accepted (B,),
-    cache, draft_cache, rng). Inactive slots emit garbage and advance 0.
-
-    Memory note: unlike the frozen-window path this graph takes AND returns
-    both caches (the axon AOT path reserves unaliased in+out, ~2x cache
-    HBM) — speculative serving is the LATENCY mode, sized for small batches
-    where that is cheap; high-occupancy throughput serving stays on the
-    window path.
+    target_win_bufs, draft_win_bufs, rng) — both caches enter FROZEN
+    (read-only) and the block's k+1 new KV rows come back in small window
+    buffers the caller commits per layer (_commit_entry), mirroring the
+    decode-window path. The previous take-and-return-both-caches graph
+    reserved unaliased in+out on the axon AOT path (~2x cache HBM,
+    VERDICT r3 weak-item #5), capping spec mode at small batches.
+    Inactive slots emit garbage and advance 0.
     """
     batch = slot_tokens.shape[0]
+    rows = 2 * batch
 
     def rowify(x):
         return jnp.repeat(x, 2, axis=0)
@@ -242,13 +304,20 @@ def _spec_block_multi(params, draft_params, cfg, draft_cfg, k: int, dtype,
         filtered = filtered_logits_batched(mixed, temps, top_ks, top_ps)
         return jax.nn.softmax(filtered, axis=-1)               # (B, V)
 
-    # ---- draft k proposals --------------------------------------------------
+    if col_valid is None:
+        col_valid = jnp.ones((rows, gpt.cache_seq_len(cache)), bool)
+
+    # ---- draft k proposals (frozen draft cache + window buffers) -----------
+    dreads, dbig_mask = gpt.window_sources(
+        draft_cache, pos, col_valid[:, :gpt.cache_seq_len(draft_cache)],
+        read_bound)
+    dwin = gpt.init_window_bufs(draft_cfg, rows, k + 1, ddtype)
     tok = slot_tokens
     drafts, q_list = [], []
     for j in range(k):
         e = draft_params["tok_embeddings"][rowify(tok)][:, None].astype(ddtype)
-        lg, draft_cache = gpt.decode_step_multi(
-            draft_params, draft_cfg, e, pos + j, draft_cache, active,
+        lg, dwin = gpt.decode_step_window(
+            draft_params, draft_cfg, e, j, pos, dreads, dbig_mask, dwin,
             draft_freqs)
         qj = probs_from_rows(lg)
         rng, r = jax.random.split(rng)
@@ -259,8 +328,8 @@ def _spec_block_multi(params, draft_params, cfg, draft_cfg, k: int, dtype,
     # tail write: d_{k-1}'s KV at pos+k so a fully-accepted block leaves no
     # stale draft row (same fix as inference/speculative.py)
     e = draft_params["tok_embeddings"][rowify(tok)][:, None].astype(ddtype)
-    _, draft_cache = gpt.decode_step_multi(
-        draft_params, draft_cfg, e, pos + k, draft_cache, active,
+    _, dwin = gpt.decode_step_window(
+        draft_params, draft_cfg, e, k, pos, dreads, dbig_mask, dwin,
         draft_freqs)
     d = jnp.stack(drafts, axis=1)                              # (B, k)
     q = jnp.stack(q_list, axis=1)                              # (B, k, V)
@@ -268,9 +337,11 @@ def _spec_block_multi(params, draft_params, cfg, draft_cfg, k: int, dtype,
     # ---- verify: one target pass over [cur, d_0..d_{k-1}] -------------------
     blk = jnp.concatenate([slot_tokens[:, None], d], axis=1)   # (B, k+1)
     be = params["tok_embeddings"][rowify(blk)].astype(dtype)
-    lg_blk, cache = gpt.decode_block_multi(params, cfg, be, pos, cache,
-                                           active, freqs_cis,
-                                           read_bound=read_bound)
+    reads, big_mask = gpt.window_sources(cache, pos, col_valid, read_bound)
+    int8 = "kT" in cache[0] or "kT4" in cache[0]
+    twin = gpt.init_window_bufs(cfg, rows, k + 1, dtype, int8=int8)
+    lg_blk, twin = gpt.decode_block_window(params, cfg, be, pos, reads,
+                                           big_mask, twin, freqs_cis)
     v = lg_blk.shape[-1]
     # one batched filter pipeline over all (slot, position) rows — k+1
     # separate probs_from_rows calls would trace k+1 full-vocab
@@ -307,7 +378,7 @@ def _spec_block_multi(params, draft_params, cfg, draft_cfg, k: int, dtype,
     d_pad = jnp.concatenate([d, jnp.zeros((batch, 1), d.dtype)], axis=1)
     offs = jnp.arange(k + 1)[None, :]
     toks = jnp.where(offs < n[:, None], d_pad, final[:, None])  # (B, k+1)
-    return toks.astype(jnp.int32), n.astype(jnp.int32), cache, draft_cache, rng
+    return toks.astype(jnp.int32), n.astype(jnp.int32), twin, dwin, rng
 
 
 @dataclass
@@ -463,6 +534,7 @@ class ServeEngine:
         self._read_buckets = [b for b in (128, 256, 512, 1024, 2048, 4096)
                               if b < self.max_seq] + [self.max_seq]
         self.rng = jax.random.key(0)
+        self._null_embs: Dict[Any, Any] = {}  # null conditioning embed cache
         self._next_id = 0
         self.stats = {"requests_done": 0, "tokens_generated": 0,
                       "steps": 0, "t_start": time.monotonic()}
@@ -813,23 +885,30 @@ class ServeEngine:
             req = self.queue.popleft()
             slot_id = free[fi]
             fi += 1
-            self._dev = None                     # slot state changes below
             if req.request_id in self._swapped:
+                self._dev = None                 # swap-in: rare slow path
                 self._swap_in(req, slot_id)      # resume, no re-prefill
                 continue
             self.slots[slot_id] = req
             admitted.append((slot_id, req))
         if not admitted:
             return
+        # extras need the per-slot output histograms rebuilt -> slow path;
+        # otherwise the cohort lands on the device args in place at the end
+        if self._dev is not None and (self._dev["extras"] is not None
+                                      or any(r.params.uses_extras
+                                             for _, r in admitted)):
+            self._dev = None
 
-        jobs = []          # prefix-cache misses: (key, row, emb, mask)
+        jobs = []          # prefix-cache misses: (key, row, emb_fn, mask)
         draft_jobs = []    # speculative: (row, draft_emb, mask) — ALL rows
                            # (prefix-cache hits skip TARGET prefill only)
         pending: Dict[bytes, int] = {}   # key -> row of first miss this batch
         aliases = []       # (row, key): same prefix admitted twice this batch
         logits_by_row: Dict[int, Any] = {}
 
-        def lookup(key, row, emb, mask):
+        def lookup(key, row, emb_fn, mask):
+            # emb_fn is a THUNK: hits never pay the embed dispatch
             if self.prefix_cache_size > 0 and key in self.prefix_cache:
                 rows_kv, logits = self.prefix_cache[key]
                 self.prefix_cache.move_to_end(key)
@@ -842,14 +921,15 @@ class ServeEngine:
             else:
                 self.stats["prefix_misses"] += 1
                 pending[key] = row
-                jobs.append((key, row, emb, mask))
+                jobs.append((key, row, emb_fn, mask))
 
         t_cond = self.t_cond
         for slot_id, req in admitted:
             row_c, row_u = 2 * slot_id, 2 * slot_id + 1
             cond_j = jnp.asarray(req.cond)[None]
-            cond_emb = gpt.embed_cond(self.model_params, self.cfg, cond_j,
-                                      train=False, dtype=self.dtype)
+            cond_emb_fn = functools.partial(
+                gpt.embed_cond, self.model_params, self.cfg, cond_j,
+                train=False, dtype=self.dtype)
             # padded-text mask surgery for t2i conditioning
             # (ref generate.py:156-165 semantics, per request row)
             self.col_valid[row_c] = True
@@ -865,38 +945,51 @@ class ServeEngine:
             else:
                 prefill_mask = np.tril(np.ones((t_cond, t_cond), bool))[None]
             lookup(self._prefix_key(req.cond, req.emb_mask, uncond=False),
-                   row_c, cond_emb, prefill_mask)
+                   row_c, cond_emb_fn, prefill_mask)
             if self.draft_params is not None:
                 assert req.emb_mask is None, "spec serving: c2i only"
                 demb = gpt.embed_cond(self.draft_params, self.draft_cfg,
                                       cond_j, train=False, dtype=self.ddtype)
                 draft_jobs.append((row_c, demb, prefill_mask))
             if req.params.cfg_scale > 1.0:
-                if self.cfg.model_type == "c2i":
-                    null = jnp.full_like(cond_j, self.cfg.num_classes)
-                else:
-                    un = gpt.uncond_caption_embedding(self.model_params)
-                    null = jnp.broadcast_to(un[None], cond_j.shape)
-                null_emb = gpt.embed_cond(self.model_params, self.cfg, null,
-                                          train=False, dtype=self.dtype)
+                def null_emb_fn(cj=cond_j):
+                    # the null conditioning embed is request-independent
+                    # (per cond shape) — cache it across admissions
+                    key = ("null", cj.shape, str(cj.dtype))
+                    if key not in self._null_embs:
+                        if self.cfg.model_type == "c2i":
+                            null = jnp.full_like(cj, self.cfg.num_classes)
+                        else:
+                            un = gpt.uncond_caption_embedding(
+                                self.model_params)
+                            null = jnp.broadcast_to(un[None], cj.shape)
+                        self._null_embs[key] = gpt.embed_cond(
+                            self.model_params, self.cfg, null, train=False,
+                            dtype=self.dtype)
+                    return self._null_embs[key]
                 lookup(self._prefix_key(req.cond, req.emb_mask, uncond=True),
-                       row_u, null_emb, prefill_mask)
+                       row_u, null_emb_fn, prefill_mask)
                 if self.draft_params is not None:
-                    dnull = gpt.embed_cond(self.draft_params, self.draft_cfg,
-                                           null, train=False,
-                                           dtype=self.ddtype)
-                    draft_jobs.append((row_u, dnull, prefill_mask))
+                    dkey = ("draft_null", cond_j.shape, str(cond_j.dtype))
+                    if dkey not in self._null_embs:
+                        dnull = jnp.full_like(cond_j,
+                                              self.draft_cfg.num_classes)
+                        self._null_embs[dkey] = gpt.embed_cond(
+                            self.draft_params, self.draft_cfg, dnull,
+                            train=False, dtype=self.ddtype)
+                    draft_jobs.append((row_u, self._null_embs[dkey],
+                                       prefill_mask))
 
         if jobs:
             # pad the prefill batch to the next power of two by repeating the
             # last job (duplicate scatter rows write identical values), so the
             # compile count stays log-bounded instead of one graph per
             # distinct admission size.
-            m_pad = 1
-            while m_pad < len(jobs):
-                m_pad *= 2
+            m_pad = _pow2ceil(len(jobs))
             padded = jobs + [jobs[-1]] * (m_pad - len(jobs))
-            embs = jnp.concatenate([j[2] for j in padded], axis=0)
+            job_embs = [j[2]() for j in jobs]        # thunks, once each
+            job_embs += [job_embs[-1]] * (m_pad - len(jobs))
+            embs = jnp.concatenate(job_embs, axis=0)
             masks = jnp.asarray(np.stack([j[3] for j in padded]))  # (M,1,T,T)
             rows = jnp.asarray(np.array([j[1] for j in padded], np.int32))
             logits_all, mini = self._prefill_mini(
@@ -923,15 +1016,17 @@ class ServeEngine:
             self._draft_prefill(draft_jobs)
 
         beam_admits: Dict[int, List[Any]] = {}
+        simple = []     # non-beam admissions: one batched sample, ONE sync
         for slot_id, req in admitted:
             row_c, row_u = 2 * slot_id, 2 * slot_id + 1
-            logits = logits_by_row[row_c]
-            if req.params.cfg_scale > 1.0:
-                both = jnp.concatenate([logits, logits_by_row[row_u]], axis=0)
-                mixed = cfg_mix(both, req.params.cfg_scale)
-            else:
-                mixed = logits
             if req.params.use_beam_search:
+                logits = logits_by_row[row_c]
+                if req.params.cfg_scale > 1.0:
+                    both = jnp.concatenate([logits, logits_by_row[row_u]],
+                                           axis=0)
+                    mixed = cfg_mix(both, req.params.cfg_scale)
+                else:
+                    mixed = logits
                 # first token: the group's beams take the top-bw DISTINCT
                 # tokens of the shared prefill distribution (ref
                 # sampler.py:340-352 — the prompt phase of beam search)
@@ -950,29 +1045,67 @@ class ServeEngine:
                 self.pos[row_u] = self.t_cond
                 g.append(req)
                 continue
+            simple.append((slot_id, req))
+
+        if simple:
+            # whole-cohort first tokens: pow2-padded like the prefill so the
+            # compile set stays log-bounded. min_p applies to the first token
+            # (penalties don't: the output histogram is empty); logprobs are
+            # always computed in-graph and kept only when requested.
+            m_pad = _pow2ceil(len(simple))
+            cohort = simple + [simple[-1]] * (m_pad - len(simple))
+            cond_l = jnp.concatenate(
+                [logits_by_row[2 * s] for s, _ in cohort], axis=0)
+            uncond_l = jnp.concatenate(
+                [logits_by_row[2 * s + 1] if r.params.cfg_scale > 1.0
+                 else logits_by_row[2 * s] for s, r in cohort], axis=0)
+            f32 = np.float32
+            scales = jnp.asarray([r.params.cfg_scale for _, r in cohort], f32)
+            temps = jnp.asarray([r.params.temperature for _, r in cohort], f32)
+            tks = jnp.asarray([r.params.top_k for _, r in cohort], np.int32)
+            tps = jnp.asarray([r.params.top_p for _, r in cohort], f32)
+            mps = jnp.asarray([r.params.min_p for _, r in cohort], f32)
             self.rng, r = jax.random.split(self.rng)
-            sp = req.params
-            if sp.uses_extras or req.token_logprobs is not None:
-                # min_p applies to the first token too (penalties don't:
-                # the output histogram is empty); logprob recorded so
-                # best_of ranking sees the whole sequence
-                filt = filtered_logits_batched(
-                    mixed.astype(jnp.float32),
-                    jnp.asarray([sp.temperature], jnp.float32),
-                    jnp.asarray([sp.top_k], jnp.int32),
-                    jnp.asarray([sp.top_p], jnp.float32),
-                    min_p=jnp.asarray([sp.min_p], jnp.float32))
-                tok = int(jax.random.categorical(r, filt, axis=-1)[0])
+            toks_d, lps_d = _first_token_sample(cond_l, uncond_l, scales,
+                                                temps, tks, tps, mps, r)
+            toks = np.asarray(toks_d)               # the ONE host sync
+            lps = (np.asarray(lps_d)
+                   if any(r.token_logprobs is not None for _, r in simple)
+                   else None)
+            for j, (slot_id, req) in enumerate(simple):
+                req.tokens.append(int(toks[j]))
                 if req.token_logprobs is not None:
-                    req.token_logprobs.append(float(
-                        jax.nn.log_softmax(filt, axis=-1)[0, tok]))
-            else:
-                tok = int(sample_token(r, mixed, sp.temperature,
-                                       sp.top_k, sp.top_p)[0])
-            req.tokens.append(tok)
-            req.first_token_t = time.monotonic()
-            self.pos[row_c] = self.t_cond
-            self.pos[row_u] = self.t_cond
+                    req.token_logprobs.append(float(lps[j]))
+                req.first_token_t = time.monotonic()
+                self.pos[2 * slot_id] = self.t_cond
+                self.pos[2 * slot_id + 1] = self.t_cond
+
+        # land the cohort on the device-resident step args in place (the
+        # extras / swap-in / first-step cases invalidated _dev above)
+        if self._dev is not None:
+            dv = self._dev
+            m_pad = _pow2ceil(len(admitted))
+            coh = admitted + [admitted[-1]] * (m_pad - len(admitted))
+            slots_a = jnp.asarray([s for s, _ in coh], jnp.int32)
+            toks_a = jnp.asarray([r.tokens[-1] for _, r in coh], jnp.int32)
+            pos_a = jnp.full(m_pad, self.t_cond, jnp.int32)
+            act_u = jnp.asarray([r.params.cfg_scale > 1.0 for _, r in coh])
+            col_c = jnp.asarray(np.stack(
+                [self.col_valid[2 * s] for s, _ in coh]))
+            col_u = jnp.asarray(np.stack(
+                [self.col_valid[2 * s + 1] for s, _ in coh]))
+            f32 = np.float32
+            (dv["slot_tokens"], dv["pos"], dv["active"], dv["col_valid"],
+             dv["cfg_scales"], dv["temps"], dv["top_ks"], dv["top_ps"]) = \
+                _dev_admit_update(
+                    dv["slot_tokens"], dv["pos"], dv["active"],
+                    dv["col_valid"], dv["cfg_scales"], dv["temps"],
+                    dv["top_ks"], dv["top_ps"], slots_a, toks_a, pos_a,
+                    jnp.ones(m_pad, bool), act_u, col_c, col_u,
+                    jnp.asarray([r.params.cfg_scale for _, r in coh], f32),
+                    jnp.asarray([r.params.temperature for _, r in coh], f32),
+                    jnp.asarray([r.params.top_k for _, r in coh], np.int32),
+                    jnp.asarray([r.params.top_p for _, r in coh], f32))
 
     def _draft_prefill(self, draft_jobs):
         """Batched draft-model prefill for newly admitted rows (pow2-padded
@@ -1022,14 +1155,23 @@ class ServeEngine:
         need = max(int(self.pos[2 * i]) for i in active_slots) + k + 2
         rb = next((b for b in self._read_buckets if b >= need), self.max_seq)
         self.rng, r = jax.random.split(self.rng)
-        toks_d, n_d, self.cache, self.draft_cache, _ = _spec_block_multi(
+        pos_dev = jnp.asarray(self.pos)
+        active_dev = jnp.asarray(active)
+        toks_d, n_d, twin, dwin, _ = _spec_block_multi(
             self.model_params, self.draft_params, self.cfg, self.draft_cfg,
             k, self.dtype, self.ddtype,
-            jnp.asarray(slot_tokens), jnp.asarray(self.pos), self.cache,
-            self.draft_cache, jnp.asarray(active),
+            jnp.asarray(slot_tokens), pos_dev, self.cache,
+            self.draft_cache, active_dev,
             self.freqs_cis, self.draft_freqs,
             jnp.asarray(cfg_scales), jnp.asarray(temps),
-            jnp.asarray(top_ks), jnp.asarray(top_ps), r, read_bound=rb)
+            jnp.asarray(top_ks), jnp.asarray(top_ps), r, read_bound=rb,
+            col_valid=jnp.asarray(self.col_valid))
+        # per-layer donated commits, exactly like the decode-window path —
+        # the spec graph itself never holds a second copy of either cache
+        self.cache = [_commit_entry(e, wb, pos_dev, active_dev)
+                      for e, wb in zip(self.cache, twin)]
+        self.draft_cache = [_commit_entry(e, wb, pos_dev, active_dev)
+                            for e, wb in zip(self.draft_cache, dwin)]
         toks = np.asarray(toks_d)          # (B, k+1) — the ONE host sync
         n = np.asarray(n_d)                # (B,) accepted drafts
 
@@ -1114,14 +1256,21 @@ class ServeEngine:
             # spec engines dispatch _spec_block_multi instead of decode
             # windows; its only shape axis is the read bucket
             n = 0
+            col_valid = jnp.asarray(self.col_valid)
             for rb in self._read_buckets:
                 self.rng, r = jax.random.split(self.rng)
-                toks, _, self.cache, self.draft_cache, _ = _spec_block_multi(
+                toks, _, twin, dwin, _ = _spec_block_multi(
                     self.model_params, self.draft_params, self.cfg,
                     self.draft_cfg, self.spec_k, self.dtype, self.ddtype,
                     zeros_b, pos0, self.cache, self.draft_cache, inactive,
                     self.freqs_cis, self.draft_freqs, f1, f1, zeros_b, f1,
-                    r, read_bound=rb)
+                    r, read_bound=rb, col_valid=col_valid)
+                # inactive commits are state-preserving; warms both commit
+                # graph shapes too
+                self.cache = [_commit_entry(e, wb, pos0, inactive)
+                              for e, wb in zip(self.cache, twin)]
+                self.draft_cache = [_commit_entry(e, wb, pos0, inactive)
+                                    for e, wb in zip(self.draft_cache, dwin)]
                 np.asarray(toks)
                 n += 1
             return n
@@ -1141,7 +1290,83 @@ class ServeEngine:
                               for e, wb in zip(self.cache, win_bufs)]
                 np.asarray(toks)
                 n += 1
+        n += self._prewarm_admission()
         return n
+
+    def _prewarm_admission(self) -> int:
+        """Compile the ADMISSION graph set: prefill/scatter per pow2 jobs
+        bucket, the cohort first-token sampler, insert/extract, and the
+        device-arg updates. The round-3 online bench warmed only the bucket
+        sizes its drain loop happened to hit — at 2 req/s the very first
+        solo admission (jobs=1) compiled cold MID-RUN, a ~60 s stall that
+        queued every arrival behind it (TTFT p50 42-70 s,
+        results_chain/online_b64.log). Prefill scatters write garbage into
+        slot-0 KV rows; harmless — admission rewrites [0:t_cond] and decode
+        reads are pos/col_valid-gated."""
+        t = self.t_cond
+        emb1 = self._prewarm_cond_emb()
+        mask1 = np.tril(np.ones((t, t), bool))[None]
+        n = 0
+        sizes = []
+        m = 1
+        while m < self.max_batch + 1:     # jobs can reach max_batch + 1
+            sizes.append(m)
+            m *= 2
+        sizes.append(m)
+        for m in sizes:
+            embs = jnp.tile(emb1, (m, 1, 1))
+            masks = jnp.asarray(np.repeat(mask1[None], m, axis=0))
+            rows = jnp.zeros(m, jnp.int32)
+            logits, mini = self._prefill_mini(
+                self.model_params, self.cfg, embs, masks, self.freqs_cis,
+                self.kv_int8, self.kv_int4, self.dtype)
+            self.cache = [_scatter_entry_rows(e, mr, rows)
+                          for e, mr in zip(self.cache, mini)]
+            if m <= _pow2ceil(self.max_batch):   # cohort sampler buckets
+                f1 = jnp.ones(m, jnp.float32)
+                self.rng, r = jax.random.split(self.rng)
+                toks, _ = _first_token_sample(logits, logits, f1, f1,
+                                              jnp.zeros(m, jnp.int32), f1,
+                                              jnp.zeros(m, jnp.float32), r)
+                np.asarray(toks)
+            n += 1
+        # prefix-cache row extract/insert (hit path)
+        kv_rows = self._extract_rows(self.cache, jnp.asarray(0), t)
+        self._insert_rows(kv_rows, 0)
+        # device-arg update graphs per cohort bucket
+        for m in [s for s in sizes if s <= _pow2ceil(self.max_batch)]:
+            dv = {"slot_tokens": jnp.zeros(self.max_batch, jnp.int32),
+                  "pos": jnp.zeros(self.rows, jnp.int32),
+                  "active": jnp.zeros(self.rows, bool),
+                  "col_valid": jnp.asarray(self.col_valid),
+                  "cfg_scales": jnp.ones(self.max_batch, jnp.float32),
+                  "temps": jnp.ones(self.max_batch, jnp.float32),
+                  "top_ks": jnp.zeros(self.max_batch, jnp.int32),
+                  "top_ps": jnp.ones(self.max_batch, jnp.float32)}
+            sl = jnp.zeros(m, jnp.int32)
+            f1 = jnp.ones(m, jnp.float32)
+            bt = jnp.zeros(m, bool)
+            cols = jnp.asarray(np.ones((m, self.max_seq), bool))
+            _dev_admit_update(dv["slot_tokens"], dv["pos"], dv["active"],
+                              dv["col_valid"], dv["cfg_scales"], dv["temps"],
+                              dv["top_ks"], dv["top_ps"], sl,
+                              jnp.zeros(m, jnp.int32),
+                              jnp.zeros(m, jnp.int32), bt, bt, cols, cols,
+                              f1, f1, jnp.zeros(m, jnp.int32), f1)
+            _dev_finish_update(jnp.zeros(self.rows, jnp.int32),
+                               jnp.zeros(self.rows, bool), sl)
+            n += 2
+        return n
+
+    def _prewarm_cond_emb(self):
+        """A (1, t_cond, dim) dummy conditioning embed for prewarm."""
+        if self.cfg.model_type == "c2i":
+            cond = jnp.zeros((1,), jnp.int32)
+        else:
+            cond = jnp.zeros((1, self.t_cond, self.cfg.caption_dim),
+                             jnp.float32)
+        return gpt.embed_cond(self.model_params, self.cfg, cond,
+                              train=False, dtype=self.dtype)
 
     def _beam_reassign(self, beam_groups: Dict[int, List[int]],
                        cand_lp: np.ndarray, cand_tok: np.ndarray):
@@ -1336,7 +1561,16 @@ class ServeEngine:
                 self.pos[2 * i] = 0
                 self.pos[2 * i + 1] = 0
                 self.stats["requests_done"] += 1
-                self._dev = None       # slot state changed -> re-upload
+        if finished and self._dev is not None:
+            # retire on device in place — a _dev=None re-upload here made
+            # every low-rate window pay ~8 round trips (stale counts for a
+            # retired slot are harmless: extras admissions rebuild _dev)
+            m_pad = _pow2ceil(len(finished))
+            slot_ids = [i for i in active_slots if self.slots[i] is None]
+            slot_ids += [slot_ids[-1]] * (m_pad - len(slot_ids))
+            self._dev["pos"], self._dev["active"] = _dev_finish_update(
+                self._dev["pos"], self._dev["active"],
+                jnp.asarray(slot_ids, jnp.int32))
         self.stats["steps"] += 1
         return finished
 

@@ -84,6 +84,11 @@ def main(argv=None):
                         "(pp-1)/(microbatches+pp-1)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume-params", action="store_true",
+                   help="fast resume: restore ONLY the params subtree "
+                        "(host-side, ~6x less tunnel upload than the full "
+                        "f32 state) and rebuild a fresh optimizer state; "
+                        "step is restored so schedules/epochs align")
     p.add_argument("--no-remat", action="store_true",
                    help="disable per-block rematerialization (uses more HBM)")
     p.add_argument("--force-platform", default=None,
@@ -127,7 +132,18 @@ def main(argv=None):
 
     ckpt = CheckpointManager(f"{args.results_dir}/checkpoints",
                              args.cloud_save_path, max_to_keep=args.max_keep)
-    if args.resume and ckpt.latest_step() is not None:
+    if args.resume_params and ckpt.latest_step() is not None:
+        from ..core.checkpoint import load_gpt_orbax
+        t0 = time.time()
+        params = load_gpt_orbax(f"{args.results_dir}/checkpoints", cfg)
+        params = jax.tree_util.tree_map(jax.device_put, params,
+                                        shardings.params)
+        s = ckpt.latest_step()
+        state = state._replace(params=params,
+                               step=jnp.asarray(s, jnp.int32))
+        logger.info(f"fast-resumed params from step {s} "
+                    f"(fresh opt state) in {time.time() - t0:.1f}s")
+    elif args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         logger.info(f"resumed from step {int(state.step)}")
 

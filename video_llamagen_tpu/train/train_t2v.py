@@ -77,6 +77,9 @@ def main(argv=None):
                    help="pipeline microbatches (default: pp)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume-params", action="store_true",
+                   help="fast resume: params subtree only (host restore, "
+                        "~6x less tunnel upload), fresh optimizer state")
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--shuffle-tokens", action="store_true",
                    help="mse head: batch-shared random token-order training "
@@ -123,7 +126,20 @@ def main(argv=None):
 
     ckpt = CheckpointManager(f"{args.results_dir}/checkpoints",
                              args.cloud_save_path)
-    if args.resume and ckpt.latest_step() is not None:
+    if args.resume_params and ckpt.latest_step() is not None:
+        from ..core.checkpoint import load_params_subtree
+        t0 = time.time()
+        sds = jax.eval_shape(lambda k: create_video_train_state(
+            k, cfg, tcfg), jax.random.key(0)).params
+        params = load_params_subtree(f"{args.results_dir}/checkpoints", sds)
+        params = jax.tree_util.tree_map(jax.device_put, params,
+                                        shardings.params)
+        s = ckpt.latest_step()
+        state = state._replace(params=params,
+                               step=jnp.asarray(s, jnp.int32))
+        logger.info(f"fast-resumed params from step {s} "
+                    f"(fresh opt state) in {time.time() - t0:.1f}s")
+    elif args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         logger.info(f"resumed from step {int(state.step)}")
 
