@@ -227,3 +227,62 @@ def test_offline_fast_path_never_allocates_slot_cache(params):
     # first continuous-batching use allocates it
     out = eng.generate([np.int32(3)], sp, offline_fast_path=False)
     assert eng._cache is not None and len(out[0].tokens) == 4
+
+
+def test_admissions_keep_device_args_resident(params):
+    """Admissions and finishes must UPDATE the device-resident step args in
+    place, not invalidate them: at low online arrival rates nearly every
+    window has a slot change, and a _dev=None re-upload per window is ~8
+    host<->device round trips over the tunnel (the round-3 rate-2 TTFT
+    regression). Streaming admissions mid-run must also produce valid
+    tokens."""
+    eng = ServeEngine(params, TINY, max_batch=4, decode_window=2)
+    sp = SamplingParams(max_tokens=6, cfg_scale=2.0, top_k=5)
+    eng.add_request(np.int32(1), sp)
+    eng.step()                      # first step builds _dev from host
+    assert eng._dev is not None
+    eng.step()
+    dev_before = eng._dev
+    eng.add_request(np.int32(2), sp)     # admission mid-run
+    done = []
+    done.extend(eng.step())
+    assert eng._dev is not None, "admission invalidated the device args"
+    assert eng._dev is dev_before, "admission rebuilt instead of updating"
+    for _ in range(12):
+        done.extend(eng.step())
+        if not eng.has_unfinished():
+            break
+    assert len(done) == 2
+    assert eng._dev is not None, "finish invalidated the device args"
+    for r in done:
+        assert len(r.tokens) == 6
+        assert all(0 <= t < TINY.vocab_size for t in r.tokens)
+
+
+def test_extras_admission_falls_back_to_rebuild(params):
+    """Requests with penalties need the per-slot histograms rebuilt — the
+    in-place update path must NOT be taken for them."""
+    eng = ServeEngine(params, TINY, max_batch=2, decode_window=2)
+    sp = SamplingParams(max_tokens=4, cfg_scale=1.0, top_k=5,
+                        repetition_penalty=1.3)
+    eng.add_request(np.int32(3), sp)
+    done = []
+    for _ in range(8):
+        done.extend(eng.step())
+        if not eng.has_unfinished():
+            break
+    assert len(done) == 1 and len(done[0].tokens) == 4
+
+
+def test_prewarm_covers_admission_graphs(params):
+    """prewarm() compiles the admission set (prefill buckets, cohort
+    sampler, dev updates) without corrupting engine state: a fresh request
+    after prewarm must produce the same tokens as one on a cold engine."""
+    sp = SamplingParams(max_tokens=4, cfg_scale=2.0, top_k=1)
+    eng1 = ServeEngine(params, TINY, max_batch=2, decode_window=2)
+    n = eng1.prewarm()
+    assert n > 0
+    r1 = eng1.generate([5], sp, offline_fast_path=False)[0]
+    eng2 = ServeEngine(params, TINY, max_batch=2, decode_window=2)
+    r2 = eng2.generate([5], sp, offline_fast_path=False)[0]
+    assert r1.tokens == r2.tokens
