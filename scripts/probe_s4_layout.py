@@ -77,6 +77,23 @@ def stage_A():
     except Exception as e:
         print(f"A: s4 dispatch FAILED: {type(e).__name__}: {str(e)[:160]}",
               flush=True)
+    # A2: layout-matched init — compile the consumer AOT, read its expected
+    # input format, and produce the init buffers IN that format via a jitted
+    # identity with out_shardings (the eager relayout device_put is what
+    # recurses on this backend; in-graph relayout never leaves the device)
+    try:
+        compiled = f.lower(jax.ShapeDtypeStruct((B, KH, D, S), jnp.int4),
+                           q).compile()
+        fmts = compiled.input_formats[0][0]     # (args, kwargs) -> arg 0
+        z2 = jax.jit(lambda x: x, out_shardings=fmts)(z)
+        out = f(z2, q)
+        np.asarray(out)
+        print("A2: layout-matched s4 init dispatch OK "
+              f"(format {fmts})", flush=True)
+        return "matched"
+    except Exception as e:
+        print(f"A2: layout-matched init FAILED: {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
         return False
 
 

@@ -74,7 +74,7 @@ def stage_train(args):
     if args.adaptive:
         argv.append("--disc-adaptive-weight")
     if args.ema:
-        argv.append("--ema")
+        argv += ["--ema", "--ema-decay", str(args.ema_decay)]
     train_vq.main(argv)
 
 
@@ -102,14 +102,19 @@ def stage_recon(args):
     psnr = 10 * np.log10(255.0 ** 2 / mse)
     np.savez(f"{ROOT}/val_recon.npz", arr_0=rec)
     np.savez(f"{ROOT}/val_ref.npz", arr_0=val)
-    print(f"VQ-16 @256 recon PSNR {psnr:.2f} dB over {len(val)} held-out")
-    _record("recon_psnr_db", round(float(psnr), 2))
+    # Keyed by which weights were evaluated: the TrainConfig EMA decay
+    # (0.9999) has a ~10k-step time constant, so a 4k-step run's EMA is
+    # still dominated by the random init (16.0 dB vs ~22 dB raw in round 4).
+    sfx = "_ema" if args.ema else ""
+    print(f"VQ-16 @256 recon PSNR {psnr:.2f} dB over {len(val)} held-out"
+          f" ({'EMA' if args.ema else 'raw'} weights)")
+    _record(f"recon_psnr_db{sfx}", round(float(psnr), 2))
 
     from video_llamagen_tpu.evals import evaluator
     res = evaluator.main([f"{ROOT}/val_ref.npz", f"{ROOT}/val_recon.npz"])
     if isinstance(res, dict):
-        _record("rfid_random", {k: round(float(v), 4)
-                                for k, v in res.items()})
+        _record(f"rfid_random{sfx}", {k: round(float(v), 4)
+                                      for k, v in res.items()})
 
     from PIL import Image
     pairs = []
@@ -135,6 +140,9 @@ def main():
                         "vq_loss.py:109-115)")
     p.add_argument("--ema", action="store_true",
                    help="train with EMA params / evaluate the EMA weights")
+    p.add_argument("--ema-decay", type=float, default=0.999,
+                   help="EMA decay for train (0.999 suits few-k-step runs; "
+                        "the 0.9999 default never converges within 4k steps)")
     args = p.parse_args()
     ROOT = os.path.join(REPO, args.dir)
     globals()[f"stage_{args.stage}"](args)

@@ -167,6 +167,12 @@ def main(argv=None):
                         "blowing up reconstruction quality")
     p.add_argument("--perceptual-weight", type=float, default=1.0)
     p.add_argument("--ema", action="store_true")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="EMA decay override. The TrainConfig default (0.9999, "
+                        "~10k-step time constant) leaves short runs' EMA "
+                        "dominated by the random init — the round-4 4k-step "
+                        "VQ-16 run evaluated 16.0 dB via EMA vs ~22 dB raw. "
+                        "Use ~0.999 for runs of a few thousand steps.")
     p.add_argument("--data", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--max-steps", type=int, default=None)
@@ -201,8 +207,9 @@ def main(argv=None):
     else:
         cfg = vq_config(args.vq_model, remat=args.remat)
         size = args.image_size
+    ema_kw = {"ema_decay": args.ema_decay} if args.ema_decay else {}
     tcfg = TrainConfig(lr=args.lr, global_batch_size=args.global_batch_size,
-                       ema=args.ema, log_every=args.log_every)
+                       ema=args.ema, log_every=args.log_every, **ema_kw)
     mesh = pmesh.make_mesh(MeshConfig(data=args.data, fsdp=args.fsdp))
 
     lpips_params = None
