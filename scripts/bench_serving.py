@@ -136,6 +136,12 @@ def bench_online(args):
     eng.stats.update(requests_done=0, tokens_generated=0, steps=0,
                      prefix_hits=0, prefix_misses=0)
 
+    if args.debug:
+        # Catch anything that STILL compiles cold mid-run after prewarm +
+        # warm drains (enabled only now so warmup compiles don't spam), and
+        # print per-step timing so stalls are attributable.
+        jax.config.update("jax_log_compiles", True)
+
     for rate in (args.rates or [args.rate]):
         rng = np.random.default_rng(0)
         arrivals = np.cumsum(rng.exponential(1.0 / rate, args.num_requests))
@@ -151,7 +157,16 @@ def bench_online(args):
                 for r in eng.queue:
                     if r.request_id == rid:
                         r.arrival_t = t0 + at
-            done.extend(eng.step())
+            if args.debug:
+                q0 = len(eng.queue)
+                a0 = sum(s is not None for s in eng.slots)
+                ts = time.monotonic()
+                done.extend(eng.step())
+                dur = time.monotonic() - ts
+                print(f"[dbg t={now:7.2f}] step dur={dur:6.3f}s q={q0:3d} "
+                      f"act={a0:3d} done={len(done)}", flush=True)
+            else:
+                done.extend(eng.step())
             if not eng.has_unfinished() and pending:
                 time.sleep(max(0.0, pending[0][1] - (time.monotonic() - t0)))
         dt = time.monotonic() - t0
@@ -183,7 +198,8 @@ def bench_online(args):
                   else "_w4" if args.weight_int4 else "")
                + ("_kv8" if args.kv_int8 else "")
                + ("_kv4" if args.kv_int4 else ""))
-        _merge("bench_serving_online.json", {key: rec})
+        if not args.debug:     # debug prints skew the timings; don't record
+            _merge("bench_serving_online.json", {key: rec})
         eng.stats.update(requests_done=0, tokens_generated=0, steps=0,
                          prefix_hits=0, prefix_misses=0)
 
@@ -227,6 +243,9 @@ def main():
                         "(warmup compiles are paid once)")
     p.add_argument("--num-requests", type=int, default=32)
     p.add_argument("--decode-window", type=int, default=16)
+    p.add_argument("--debug", action="store_true",
+                   help="per-step timing lines + jax_log_compiles after "
+                        "warmup (diagnose online stalls; skews the rec)")
     args = p.parse_args()
     if args.weight_int4_packed:
         args.weight_int4 = "packed"   # build() packs after quantizing

@@ -286,3 +286,36 @@ def test_prewarm_covers_admission_graphs(params):
     eng2 = ServeEngine(params, TINY, max_batch=2, decode_window=2)
     r2 = eng2.generate([5], sp, offline_fast_path=False)[0]
     assert r1.tokens == r2.tokens
+
+
+def test_prewarm_key_matches_live_decode_path(params):
+    """After prewarm() + one short warm drain, NO serving step may trace a
+    new _decode_n_multi graph — not even when pos crosses read buckets.
+
+    Pins the round-4 regression: step() passes extras/want_logprobs/n_cands
+    kwargs explicitly while prewarm omitted them, and jit's tracing-cache
+    key includes the kwargs pytree STRUCTURE — identical default values,
+    different keys, so every prewarmed decode graph was dead weight and
+    each (window, bucket) recompiled cold mid-run (~36 s/graph over a
+    network-attached chip; results_chain/online_debug.log)."""
+    from video_llamagen_tpu.serve import engine as eng_mod
+    cfg = GPTConfig(dim=64, n_layer=2, n_head=4, vocab_size=97,
+                    num_classes=10, block_size=256, cls_token_num=1,
+                    model_type="c2i", dtype="float32")
+    p = gpt.init_gpt_params(jax.random.key(1), cfg)
+    eng = ServeEngine(p, cfg, max_batch=2, decode_window=8)
+    assert len(eng._read_buckets) >= 2   # crossing must actually happen
+    eng.prewarm()
+    warm = SamplingParams(max_tokens=2 * 8, cfg_scale=2.0, top_k=5)
+    eng.generate([3], warm, offline_fast_path=False)
+    n0 = eng_mod._decode_n_multi._cache_size()
+    sp = SamplingParams(max_tokens=250, cfg_scale=2.0, top_k=5)
+    eng.add_request(np.int32(4), sp)
+    steps = 0
+    while eng.has_unfinished() and steps < 400:
+        eng.step()
+        steps += 1
+    assert not eng.has_unfinished()
+    assert eng_mod._decode_n_multi._cache_size() == n0, \
+        "decode window traced a NEW graph after prewarm (prewarm/live " \
+        "call-signature drift)"

@@ -114,6 +114,15 @@ def _first_token_sample(cond_l, uncond_l, scales, temps, top_ks, top_ps,
     return toks, lps
 
 
+def _jarr(x, dtype=None):
+    """Host-side dtype conversion, then device_put. `jnp.asarray(pylist,
+    dtype)` dispatches a jit(convert_element_type) — a ~0.4 s cold compile
+    PER (size, dtype) over a network-attached chip, hit mid-run for every
+    new admission-cohort size (results_chain/online_debug.log). numpy does
+    the cast for free and device_put never compiles."""
+    return jnp.asarray(np.asarray(x, dtype))
+
+
 @functools.partial(jax.jit, donate_argnums=tuple(range(8)))
 def _dev_admit_update(slot_tokens, pos, active, col_valid, cfg_scales, temps,
                       top_ks, top_ps, slots, toks, pos_val, act_c, act_u,
@@ -1060,11 +1069,11 @@ class ServeEngine:
                 [logits_by_row[2 * s + 1] if r.params.cfg_scale > 1.0
                  else logits_by_row[2 * s] for s, r in cohort], axis=0)
             f32 = np.float32
-            scales = jnp.asarray([r.params.cfg_scale for _, r in cohort], f32)
-            temps = jnp.asarray([r.params.temperature for _, r in cohort], f32)
-            tks = jnp.asarray([r.params.top_k for _, r in cohort], np.int32)
-            tps = jnp.asarray([r.params.top_p for _, r in cohort], f32)
-            mps = jnp.asarray([r.params.min_p for _, r in cohort], f32)
+            scales = _jarr([r.params.cfg_scale for _, r in cohort], f32)
+            temps = _jarr([r.params.temperature for _, r in cohort], f32)
+            tks = _jarr([r.params.top_k for _, r in cohort], np.int32)
+            tps = _jarr([r.params.top_p for _, r in cohort], f32)
+            mps = _jarr([r.params.min_p for _, r in cohort], f32)
             self.rng, r = jax.random.split(self.rng)
             toks_d, lps_d = _first_token_sample(cond_l, uncond_l, scales,
                                                 temps, tks, tps, mps, r)
@@ -1086,10 +1095,10 @@ class ServeEngine:
             dv = self._dev
             m_pad = _pow2ceil(len(admitted))
             coh = admitted + [admitted[-1]] * (m_pad - len(admitted))
-            slots_a = jnp.asarray([s for s, _ in coh], jnp.int32)
-            toks_a = jnp.asarray([r.tokens[-1] for _, r in coh], jnp.int32)
-            pos_a = jnp.full(m_pad, self.t_cond, jnp.int32)
-            act_u = jnp.asarray([r.params.cfg_scale > 1.0 for _, r in coh])
+            slots_a = _jarr([s for s, _ in coh], np.int32)
+            toks_a = _jarr([r.tokens[-1] for _, r in coh], np.int32)
+            pos_a = _jarr(np.full(m_pad, self.t_cond, np.int32))
+            act_u = _jarr([r.params.cfg_scale > 1.0 for _, r in coh], bool)
             col_c = jnp.asarray(np.stack(
                 [self.col_valid[2 * s] for s, _ in coh]))
             col_u = jnp.asarray(np.stack(
@@ -1101,11 +1110,11 @@ class ServeEngine:
                     dv["slot_tokens"], dv["pos"], dv["active"],
                     dv["col_valid"], dv["cfg_scales"], dv["temps"],
                     dv["top_ks"], dv["top_ps"], slots_a, toks_a, pos_a,
-                    jnp.ones(m_pad, bool), act_u, col_c, col_u,
-                    jnp.asarray([r.params.cfg_scale for _, r in coh], f32),
-                    jnp.asarray([r.params.temperature for _, r in coh], f32),
-                    jnp.asarray([r.params.top_k for _, r in coh], np.int32),
-                    jnp.asarray([r.params.top_p for _, r in coh], f32))
+                    _jarr(np.ones(m_pad, bool)), act_u, col_c, col_u,
+                    _jarr([r.params.cfg_scale for _, r in coh], f32),
+                    _jarr([r.params.temperature for _, r in coh], f32),
+                    _jarr([r.params.top_k for _, r in coh], np.int32),
+                    _jarr([r.params.top_p for _, r in coh], f32))
 
     def _draft_prefill(self, draft_jobs):
         """Batched draft-model prefill for newly admitted rows (pow2-padded
@@ -1280,10 +1289,18 @@ class ServeEngine:
         for k in windows:
             for rb in self._read_buckets:
                 self.rng, r = jax.random.split(self.rng)
+                # the kwargs here must STAY IDENTICAL to step()'s call:
+                # jit's tracing-cache key includes the kwargs pytree
+                # structure, so `extras=None` explicitly-passed and omitted
+                # are DIFFERENT keys — omitting them here made every prewarm
+                # graph dead weight and each (window, bucket) recompiled
+                # cold mid-run (~36 s/graph over the tunnel; the round-4
+                # TTFT regression, results_chain/online_debug.log)
                 toks, _, win_bufs, _ = _decode_n_multi(
                     self.model_params, self.cfg, k, self.dtype, zeros_b,
                     pos0, self.cache, inactive, self.freqs_cis, col_valid,
-                    f1, f1, zeros_b, f1, r, read_bound=rb)
+                    f1, f1, zeros_b, f1, r, read_bound=rb, extras=None,
+                    want_logprobs=False, n_cands=0)
                 # warm the per-layer commit graph too (shared across layers;
                 # inactive rows -> state-preserving)
                 self.cache = [_commit_entry(e, wb, pos0, inactive)
@@ -1314,7 +1331,11 @@ class ServeEngine:
             m *= 2
         sizes.append(m)
         for m in sizes:
-            embs = jnp.tile(emb1, (m, 1, 1))
+            # same ops as the live admission glue (concatenate of m (1,...)
+            # pieces, per-row logits slices), not just same shapes: each is
+            # a distinct per-cohort-size XLA program that would otherwise
+            # compile cold on the first mid-run admission of that size
+            embs = jnp.concatenate([emb1] * m, axis=0)
             masks = jnp.asarray(np.repeat(mask1[None], m, axis=0))
             rows = jnp.zeros(m, jnp.int32)
             logits, mini = self._prefill_mini(
@@ -1323,9 +1344,12 @@ class ServeEngine:
             self.cache = [_scatter_entry_rows(e, mr, rows)
                           for e, mr in zip(self.cache, mini)]
             if m <= _pow2ceil(self.max_batch):   # cohort sampler buckets
+                row0 = logits[0:1]
+                cond_l = jnp.concatenate([row0] * m, axis=0)
+                uncond_l = jnp.concatenate([row0] * m, axis=0)
                 f1 = jnp.ones(m, jnp.float32)
                 self.rng, r = jax.random.split(self.rng)
-                toks, _ = _first_token_sample(logits, logits, f1, f1,
+                toks, _ = _first_token_sample(cond_l, uncond_l, f1, f1,
                                               jnp.zeros(m, jnp.int32), f1,
                                               jnp.zeros(m, jnp.float32), r)
                 np.asarray(toks)
@@ -1570,7 +1594,7 @@ class ServeEngine:
             slot_ids += [slot_ids[-1]] * (m_pad - len(slot_ids))
             self._dev["pos"], self._dev["active"] = _dev_finish_update(
                 self._dev["pos"], self._dev["active"],
-                jnp.asarray(slot_ids, jnp.int32))
+                _jarr(slot_ids, np.int32))
         self.stats["steps"] += 1
         return finished
 
