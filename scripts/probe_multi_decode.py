@@ -34,8 +34,78 @@ import jax
 import jax.numpy as jnp
 
 
+def probe_fused(name, batch, k=64, kv_int8=False, kv_int4=False):
+    """s4-safe window probe: cache init + decode windows + commits all in
+    ONE jitted graph, so the jnp.int4 buffers never cross a jit boundary
+    (an eager relayout device_put on an s4 array recurses over the axon
+    tunnel — results_chain/probe_kv4_jkl.log killed variants J/K there).
+    Steady-state window cost = (t(5 windows) - t(1 window)) / 4; both
+    graphs share the scan body, so compile cost stays ~one window."""
+    import functools
+    from video_llamagen_tpu.core.config import gpt_config
+    from video_llamagen_tpu.models import gpt
+    from video_llamagen_tpu.serve import engine as eng_mod
+
+    cfg = gpt_config("GPT-L", vocab_size=16384, block_size=576,
+                     num_classes=1000, cls_token_num=1, model_type="c2i",
+                     dtype="bfloat16")
+    rows = 2 * batch
+    s_max = 577
+    params = gpt.cast_params(gpt.init_gpt_params(jax.random.key(0), cfg),
+                             jnp.bfloat16)
+    freqs = gpt.precompute_freqs_2d(cfg.grid_size, cfg.head_dim,
+                                    cfg.rope_base, cfg.cls_token_num)
+    fn = eng_mod._decode_n_multi   # jit-in-jit inlines; statics still work
+
+    @functools.partial(jax.jit, static_argnames=("n_win",))
+    def run(params, freqs, n_win: int):
+        cache = (gpt.init_kv_cache_int4(cfg, rows, s_max) if kv_int4
+                 else gpt.init_kv_cache_int8(cfg, rows, s_max) if kv_int8
+                 else gpt.init_kv_cache(cfg, rows, s_max, jnp.bfloat16))
+        tokens = jnp.zeros(batch, jnp.int32)
+        pos = jnp.full(rows, 1, jnp.int32)
+        active = jnp.ones(rows, bool)
+        col_valid = jnp.ones((rows, s_max), bool)
+        scales = jnp.full(batch, 2.0, jnp.float32)
+        temps = jnp.ones(batch, jnp.float32)
+        top_ks = jnp.full(batch, 1000, jnp.int32)
+        top_ps = jnp.ones(batch, jnp.float32)
+
+        def body(carry, r):
+            tokens, pos, cache = carry
+            toks, pos, bufs, _ = fn(params, cfg, k, jnp.bfloat16, tokens,
+                                    pos, cache, active, freqs, col_valid,
+                                    scales, temps, top_ks, top_ps, r)
+            cache = [gpt.commit_entry(e, wb, pos - k, active)
+                     for e, wb in zip(cache, bufs)]
+            return (toks[-1], pos, cache), toks[-1]
+
+        rngs = jax.random.split(jax.random.key(0), n_win)
+        _, last = jax.lax.scan(body, (tokens, pos, cache), rngs)
+        return last
+
+    def timed(n_win):
+        t0 = time.perf_counter()
+        np.asarray(run(params, freqs, n_win))
+        return time.perf_counter() - t0
+
+    c1 = timed(1)                      # compile + 1 window
+    c5 = timed(5)                      # compile + 5 windows
+    t1 = min(timed(1) for _ in range(2))
+    t5 = min(timed(5) for _ in range(2))
+    best = (t5 - t1) / 4
+    print(f"{name}: batch {batch} kv_int8={kv_int8} kv_int4={kv_int4} "
+          f"FUSED window_s={best:.3f} ms/iter={1000*best/k:.2f} "
+          f"tok/s={batch*k/best:.0f} "
+          f"t1={t1:.3f} t5={t5:.3f} compile1_s={c1:.1f} compile5_s={c5:.1f}",
+          flush=True)
+
+
 def probe(name, batch, kv_int8, scalar_pos=False, k=64, n_windows=4,
           kv_int4=False):
+    if kv_int4:
+        return probe_fused(name, batch, k=k, kv_int8=kv_int8,
+                           kv_int4=kv_int4)
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.serve import engine as eng_mod
