@@ -319,3 +319,32 @@ def test_prewarm_key_matches_live_decode_path(params):
     assert eng_mod._decode_n_multi._cache_size() == n0, \
         "decode window traced a NEW graph after prewarm (prewarm/live " \
         "call-signature drift)"
+
+
+def test_engine_cache_group_invariant(params):
+    """Chunk-grouped cache maintenance (commit/scatter/batched hit inserts)
+    is a dispatch-count optimization only: engines differing ONLY in
+    cache_group must emit identical token streams. Covers full chunks, a
+    remainder chunk (3 layers @ group 2), whole-cache-in-one-chunk, and the
+    prefix-hit batched-insert path (duplicate conds, CFG on)."""
+    cfg = TINY.replace(n_layer=3)
+    p = gpt.init_gpt_params(jax.random.key(0), cfg)
+    p = dict(p)
+    p["output"] = jax.random.normal(jax.random.key(9), p["output"].shape) * 0.02
+    sp = SamplingParams(max_tokens=6, top_k=3, cfg_scale=2.0)
+    conds = [3, 3, 5, 3, 5]      # dups -> prefix hits in the same cohort
+    streams = {}
+    for group in (1, 2, 8):
+        eng = ServeEngine(p, cfg, max_batch=2, decode_window=2,
+                          prefix_cache_size=8, cache_group=group)
+        done = []
+        steps = 0
+        for c in conds:
+            eng.add_request(np.int32(c), sp)
+        while eng.has_unfinished():
+            done += eng.step()
+            steps += 1
+            assert steps < 100
+        assert eng.stats["prefix_hits"] > 0
+        streams[group] = sorted((r.request_id, tuple(r.tokens)) for r in done)
+    assert streams[1] == streams[2] == streams[8]
