@@ -1255,41 +1255,60 @@ class ServeEngine:
 
         k = self.spec_k
         slot_tokens = np.zeros(self.max_batch, np.int32)
-        active = np.zeros(self.rows, bool)
-        cfg_scales = np.ones(self.max_batch, np.float32)
-        temps = np.ones(self.max_batch, np.float32)
-        top_ks = np.zeros(self.max_batch, np.int32)
-        top_ps = np.ones(self.max_batch, np.float32)
         for i in active_slots:
-            req = self.slots[i]
-            slot_tokens[i] = req.tokens[-1]
-            active[2 * i] = True
-            active[2 * i + 1] = req.params.cfg_scale > 1.0
-            sp = req.params
-            cfg_scales[i] = sp.cfg_scale
-            temps[i] = sp.temperature
-            top_ks[i] = sp.top_k
-            top_ps[i] = sp.top_p
+            slot_tokens[i] = self.slots[i].tokens[-1]
+
+        # Device-resident stable step args (same dict/update machinery as
+        # the decode-window path, so _admit's in-place cohort update and
+        # _dev_finish_update apply unchanged). Only pos and slot_tokens
+        # advance data-dependently (accepted-draft count) and re-upload
+        # each step — 2 small device_puts instead of 8.
+        if self._dev is None:
+            active = np.zeros(self.rows, bool)
+            cfg_scales = np.ones(self.max_batch, np.float32)
+            temps = np.ones(self.max_batch, np.float32)
+            top_ks = np.zeros(self.max_batch, np.int32)
+            top_ps = np.ones(self.max_batch, np.float32)
+            for i in active_slots:
+                sp = self.slots[i].params
+                active[2 * i] = True
+                active[2 * i + 1] = sp.cfg_scale > 1.0
+                cfg_scales[i] = sp.cfg_scale
+                temps[i] = sp.temperature
+                top_ks[i] = sp.top_k
+                top_ps[i] = sp.top_p
+            self._dev = {
+                "slot_tokens": None, "pos": None,
+                "active": jnp.asarray(active),
+                "col_valid": jnp.asarray(self.col_valid),
+                "cfg_scales": jnp.asarray(cfg_scales),
+                "temps": jnp.asarray(temps),
+                "top_ks": jnp.asarray(top_ks),
+                "top_ps": jnp.asarray(top_ps),
+                "extras": None,
+            }
+        dev = self._dev
+        dev["pos"] = jnp.asarray(self.pos)
+        dev["slot_tokens"] = jnp.asarray(slot_tokens)
 
         need = max(int(self.pos[2 * i]) for i in active_slots) + k + 2
         rb = next((b for b in self._read_buckets if b >= need), self.max_seq)
         self.rng, r = jax.random.split(self.rng)
-        pos_dev = jnp.asarray(self.pos)
-        active_dev = jnp.asarray(active)
         toks_d, n_d, twin, dwin, _ = _spec_block_multi(
             self.model_params, self.draft_params, self.cfg, self.draft_cfg,
             k, self.dtype, self.ddtype,
-            jnp.asarray(slot_tokens), pos_dev, self.cache,
-            self.draft_cache, active_dev,
+            dev["slot_tokens"], dev["pos"], self.cache,
+            self.draft_cache, dev["active"],
             self.freqs_cis, self.draft_freqs,
-            jnp.asarray(cfg_scales), jnp.asarray(temps),
-            jnp.asarray(top_ks), jnp.asarray(top_ps), r, read_bound=rb,
-            col_valid=jnp.asarray(self.col_valid))
+            dev["cfg_scales"], dev["temps"],
+            dev["top_ks"], dev["top_ps"], r, read_bound=rb,
+            col_valid=dev["col_valid"])
         # chunk-grouped donated commits, exactly like the decode-window path
         # — the spec graph itself never holds a second copy of either cache
-        self.cache = self._commit_cache(self.cache, twin, pos_dev, active_dev)
+        self.cache = self._commit_cache(self.cache, twin,
+                                        dev["pos"], dev["active"])
         self.draft_cache = self._commit_cache(self.draft_cache, dwin,
-                                              pos_dev, active_dev)
+                                              dev["pos"], dev["active"])
         toks = np.asarray(toks_d)          # (B, k+1) — the ONE host sync
         n = np.asarray(n_d)                # (B,) accepted drafts
 
@@ -1311,6 +1330,12 @@ class ServeEngine:
                 self.pos[2 * i] = 0
                 self.pos[2 * i + 1] = 0
                 self.stats["requests_done"] += 1
+        if finished:
+            # rebuild the stable device args next step (finishes are rare
+            # in spec mode — one per request — and the conservative rebuild
+            # avoids donating dev["active"]/dev["pos"] while this step's
+            # chunk commits may still hold them as pending readers)
+            self._dev = None
         self.stats["steps"] += 1
         return finished
 
