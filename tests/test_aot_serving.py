@@ -215,3 +215,40 @@ def test_engine_export_artifacts_method(params, tmp_path):
     assert any(n.startswith("decode_w2") for n in loaded)
     man = aot.load_manifest(out)
     assert man["max_batch"] == 2 and man["decode_window"] == 2
+
+
+def test_grouped_artifacts_match_per_layer(params, artifacts):
+    """The chunk-grouped artifacts (the live engine's dispatch granularity)
+    exist and reproduce the per-layer artifact composition exactly."""
+    la = aot.load_artifacts(artifacts)
+    assert {f"commitg2_w{WINDOW}", "scatterg2_m2", "insertg2_m2"} <= set(la)
+
+    cache = gpt.init_kv_cache(TINY, ROWS, MAX_SEQ, jnp.float32)
+    a = _decode_args(params, cache)
+    toks, pos, bufs, _ = eng_mod._decode_n_multi(
+        a["p"], TINY, WINDOW, jnp.dtype("float32"), a["slot_tokens"],
+        a["pos"], cache, a["active"], a["freqs"], a["col_valid"],
+        a["cfg_scales"], a["temps"], a["top_ks"], a["top_ps"],
+        jax.random.key(3), read_bound=MAX_SEQ)
+    per = [la[f"commit_w{WINDOW}"].call(e, wb, pos - WINDOW, a["active"])
+           for e, wb in zip(cache, bufs)]
+    grp = la[f"commitg2_w{WINDOW}"].call(list(cache), list(bufs),
+                                         pos - WINDOW, a["active"])
+    for d, g in zip(jax.tree_util.tree_leaves(per),
+                    jax.tree_util.tree_leaves(grp)):
+        assert (np.asarray(d) == np.asarray(g)).all()
+
+    # grouped batched hit-insert: two cohort rows land where addressed
+    rows_kv = eng_mod.ServeEngine._extract_rows(cache, jnp.asarray(0),
+                                                TINY.cls_token_num)
+    out = la["insertg2_m2"].call(list(cache), [rows_kv, rows_kv],
+                                 jnp.asarray([1, 3], jnp.int32))
+    for li in range(len(out)):
+        for name, arr in out[li].items():
+            ax = gpt.entry_seq_axis(name, arr.ndim)
+            t = rows_kv[li][name].shape[ax]
+            for row in (1, 3):
+                got = np.take(np.asarray(arr)[row], range(t), axis=ax - 1)
+                want = np.take(np.asarray(rows_kv[li][name])[0], range(t),
+                               axis=ax - 1)
+                assert (got == want).all()

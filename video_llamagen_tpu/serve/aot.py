@@ -14,6 +14,11 @@ program `ServeEngine` dispatches —
     (`decode_w{K}_rb{RB}`; engine._decode_n_multi),
   - the per-layer window commit (`commit_w{K}`; engine._commit_entry) and
     admission row-scatter (`scatter_m{M}`; engine._scatter_entry_rows),
+  - the chunk-grouped variants the live engine actually dispatches
+    (`commitg{N}_w{K}`, `scatterg{N}_m{M}`, `insertg{N}_m{M}`;
+    engine._commit_entries/_scatter_entries_rows/_insert_entries_batch,
+    N = cache_group layers per call — per-layer artifacts stay for
+    G=1 deployments),
 
 serialized with `jax.export` into versioned StableHLO artifacts. Artifacts
 are cross-lowered for TPU from any host (no chip needed to build them: the
@@ -97,6 +102,7 @@ def export_serving_artifacts(params, cfg: GPTConfig, *, max_batch: int,
                              draft_cfg: Optional[GPTConfig] = None,
                              spec_k: int = 4, ddtype=None,
                              platforms: Sequence[str] = ("tpu",),
+                             cache_group: int = 8,
                              ) -> Dict[str, jexport.Exported]:
     """Export the full serving graph set for one engine configuration.
 
@@ -169,17 +175,53 @@ def export_serving_artifacts(params, cfg: GPTConfig, *, max_batch: int,
     def scatter_fn(entry, mr, rws):
         return eng_mod._scatter_entry_rows(entry, mr, rws)
 
+    mini_entry_sds: Dict[int, Any] = {}
     for m in _pow2_sizes(rows):
         emb_s = jax.ShapeDtypeStruct((m, t_cond, cfg.dim), dtype)
         mask_s = jax.ShapeDtypeStruct((m, 1, t_cond, t_cond), jnp.bool_)
         pre_args = (params_s, emb_s, mask_s, freqs_s)
         arts[f"prefill_m{m}"] = jexport.export(
             jax.jit(prefill_fn), platforms=list(platforms))(*pre_args)
-        mini_entry_s = jax.eval_shape(prefill_fn, *pre_args)[1][0]
+        mini_entry_sds[m] = _sds(jax.eval_shape(prefill_fn, *pre_args)[1][0])
         arts[f"scatter_m{m}"] = jexport.export(
             jax.jit(scatter_fn), platforms=list(platforms))(
-                cache_s[0], _sds(mini_entry_s),
+                cache_s[0], mini_entry_sds[m],
                 jax.ShapeDtypeStruct((m,), jnp.int32))
+
+    # ---- chunk-grouped variants: the live engine's dispatch granularity --
+    n_layer = len(cache_s)
+    group = max(1, min(cache_group, n_layer))
+    chunk_lens = sorted({group} | ({n_layer % group} - {0}))
+
+    def commitg_fn(entries, wbs, pos0, active):
+        return eng_mod._commit_entries(entries, wbs, pos0, active)
+
+    def scatterg_fn(entries, mrs, rws):
+        return eng_mod._scatter_entries_rows(entries, mrs, rws)
+
+    def insertg_fn(entries, hits, rws):
+        return eng_mod._insert_entries_batch(entries, hits, rws)
+
+    rows_kv_s = _sds(jax.eval_shape(
+        lambda c, s: eng_mod.ServeEngine._extract_rows(c, s, t_cond),
+        cache_s, jax.ShapeDtypeStruct((), jnp.int32)))
+    for n in chunk_lens:
+        for k in windows:
+            arts[f"commitg{n}_w{k}"] = jexport.export(
+                jax.jit(commitg_fn), platforms=list(platforms))(
+                    [cache_s[0]] * n, [_sds(win_bufs_s[k])] * n,
+                    rows_i, rows_b)
+        for m in _pow2_sizes(rows):
+            arts[f"scatterg{n}_m{m}"] = jexport.export(
+                jax.jit(scatterg_fn), platforms=list(platforms))(
+                    [cache_s[0]] * n, [mini_entry_sds[m]] * n,
+                    jax.ShapeDtypeStruct((m,), jnp.int32))
+        for m in _pow2_sizes(
+                min(rows, eng_mod.ServeEngine._INSERT_COHORT_MAX)):
+            arts[f"insertg{n}_m{m}"] = jexport.export(
+                jax.jit(insertg_fn), platforms=list(platforms))(
+                    [cache_s[0]] * n, [[rows_kv_s[0]] * n] * m,
+                    jax.ShapeDtypeStruct((m,), jnp.int32))
 
     # ---- speculative serving blocks (latency mode), per read bucket ------
     if draft_params is not None:
@@ -288,6 +330,8 @@ def main(argv=None):
     p.add_argument("--kv-int8", action="store_true")
     p.add_argument("--kv-int4", action="store_true")
     p.add_argument("--platforms", nargs="+", default=["tpu"])
+    p.add_argument("--cache-group", type=int, default=8,
+                   help="layers per grouped commit/scatter/insert artifact")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -300,7 +344,7 @@ def main(argv=None):
     arts = export_serving_artifacts(
         params_s, cfg, max_batch=args.batch, kv_int8=args.kv_int8,
         kv_int4=args.kv_int4, decode_window=args.decode_window,
-        platforms=args.platforms)
+        platforms=args.platforms, cache_group=args.cache_group)
     save_artifacts(args.out, arts, cfg, meta={
         "model": args.model, "max_batch": args.batch,
         "kv_int8": args.kv_int8, "kv_int4": args.kv_int4,

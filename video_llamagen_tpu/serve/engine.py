@@ -1377,7 +1377,8 @@ class ServeEngine:
             kv_int4=self.kv_int4, decode_window=self.decode_window,
             windows=windows, draft_params=self.draft_params,
             draft_cfg=self.draft_cfg, spec_k=self.spec_k,
-            ddtype=getattr(self, "ddtype", None), platforms=platforms)
+            ddtype=getattr(self, "ddtype", None), platforms=platforms,
+            cache_group=self.cache_group)
         return aot.save_artifacts(path, arts, self.cfg, meta={
             "max_batch": self.max_batch, "decode_window": self.decode_window,
             "kv_int8": self.kv_int8, "kv_int4": self.kv_int4})
