@@ -220,3 +220,28 @@ def test_spec_engine_rejects_extras(params):
         eng.add_request(1, SamplingParams(logprobs=True))
     # n>1 without ranking stays allowed (plain children)
     eng.add_request(1, SamplingParams(max_tokens=4, n=2))
+
+
+def test_extras_admissions_land_in_place(params):
+    """Oversubscribed queue with penalties active: late admissions land on
+    the device-resident extras IN PLACE (_dev_admit_extras_update) instead
+    of invalidating _dev. Greedy + penalties is rng-free, so every
+    mid-flight-admitted request must reproduce its solo-engine stream
+    exactly — which fails if a recycled slot inherits the previous
+    occupant's output histogram or penalty params."""
+    sp = SamplingParams(max_tokens=8, top_k=1, presence_penalty=2.5,
+                        repetition_penalty=1.3)
+    eng = _engine(params, max_batch=2, decode_window=2)
+    for c in range(5):
+        eng.add_request(c, sp)
+    done = []
+    steps = 0
+    while eng.has_unfinished():
+        done += eng.step()
+        steps += 1
+        assert steps < 200
+    assert len(done) == 5
+    for r in done:
+        solo = _engine(params, max_batch=1).generate(
+            [int(r.cond)], sp, offline_fast_path=False)[0]
+        assert r.tokens == solo.tokens, int(r.cond)

@@ -199,6 +199,23 @@ def _dev_admit_update(slot_tokens, pos, active, col_valid, cfg_scales, temps,
             top_ps.at[slots].set(tps))
 
 
+@functools.partial(jax.jit, donate_argnums=tuple(range(5)))
+def _dev_admit_extras_update(counts, min_ps, pres, freq, rep, slots, toks,
+                             mps, prs, fqs, rps):
+    """Extras companion to _dev_admit_update: reset an admitted cohort's
+    output-token histograms on device (zero the slot row, count the first
+    token) and land its per-request penalty params in place. Before this,
+    ANY admission while penalties/min_p were active invalidated _dev — the
+    full 8-upload + host histogram rebuild per admission, exactly the
+    round-trip tax the plain path's in-place update removed."""
+    zero_rows = jnp.zeros((slots.shape[0], counts.shape[1]), counts.dtype)
+    # set (not add): a just-admitted slot has exactly one output token, and
+    # set stays correct under the pow2 padding's duplicated trailing slots
+    counts = counts.at[slots].set(zero_rows).at[slots, toks].set(1)
+    return (counts, min_ps.at[slots].set(mps), pres.at[slots].set(prs),
+            freq.at[slots].set(fqs), rep.at[slots].set(rps))
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _dev_finish_update(pos, active, slots):
     """Retire finished slots on device (companion to _dev_admit_update)."""
@@ -1011,11 +1028,12 @@ class ServeEngine:
             admitted.append((slot_id, req))
         if not admitted:
             return
-        # extras need the per-slot output histograms rebuilt -> slow path;
-        # otherwise the cohort lands on the device args in place at the end
-        if self._dev is not None and (self._dev["extras"] is not None
-                                      or any(r.params.uses_extras
-                                             for _, r in admitted)):
+        # the only extras slow path left is the TRANSITION into extras: the
+        # EXISTING slots' output histograms must be built host-side once.
+        # With extras already active, admissions land on the device args in
+        # place (incl. histogram reset + penalty params) like plain ones.
+        if (self._dev is not None and self._dev["extras"] is None
+                and any(r.params.uses_extras for _, r in admitted)):
             self._dev = None
 
         jobs = []          # prefix-cache misses: (key, row, emb_fn, mask)
@@ -1226,6 +1244,17 @@ class ServeEngine:
                     _jarr([r.params.temperature for _, r in coh], f32),
                     _jarr([r.params.top_k for _, r in coh], np.int32),
                     _jarr([r.params.top_p for _, r in coh], f32))
+            if dv["extras"] is not None:
+                ex = dv["extras"]
+                (ex["counts"], ex["min_p"], ex["pres"], ex["freq"],
+                 ex["rep"]) = _dev_admit_extras_update(
+                    ex["counts"], ex["min_p"], ex["pres"], ex["freq"],
+                    ex["rep"], slots_a, toks_a,
+                    _jarr([r.params.min_p for _, r in coh], f32),
+                    _jarr([r.params.presence_penalty for _, r in coh], f32),
+                    _jarr([r.params.frequency_penalty for _, r in coh], f32),
+                    _jarr([r.params.repetition_penalty for _, r in coh],
+                          f32))
 
     def _draft_prefill(self, draft_jobs):
         """Batched draft-model prefill for newly admitted rows (pow2-padded
@@ -1383,13 +1412,17 @@ class ServeEngine:
             "max_batch": self.max_batch, "decode_window": self.decode_window,
             "kv_int8": self.kv_int8, "kv_int4": self.kv_int4})
 
-    def prewarm(self, windows=None) -> int:
+    def prewarm(self, windows=None, extras: bool = False) -> int:
         """Compile every decode-window graph the engine can dispatch —
         (window k) x (read bucket) — WITHOUT touching engine state: the
         dummy call runs with active=all-False, so cache writes write back
         the old values and pos stays put. A cold compile mid-run costs
         minutes over a network-attached chip and poisons online latency
         percentiles; benches call this before the clock starts.
+
+        `extras=True` additionally warms the penalties/min_p decode-window
+        variants (doubles the decode-graph compile count — opt in when the
+        deployment serves requests with penalties).
 
         Returns the number of graphs compiled."""
         zeros_b = jnp.zeros(self.max_batch, jnp.int32)
@@ -1420,28 +1453,40 @@ class ServeEngine:
             return n
         windows = windows or sorted({1, self.decode_window})
         col_valid = jnp.asarray(self.col_valid)
+        extra_sets = [None]
+        if extras:
+            extra_sets.append({
+                "counts": jnp.zeros((self.max_batch, self.cfg.vocab_size),
+                                    jnp.int32),
+                "min_p": jnp.zeros(self.max_batch, jnp.float32),
+                "pres": jnp.zeros(self.max_batch, jnp.float32),
+                "freq": jnp.zeros(self.max_batch, jnp.float32),
+                "rep": jnp.ones(self.max_batch, jnp.float32),
+            })
         n = 0
         for k in windows:
             for rb in self._read_buckets:
-                self.rng, r = jax.random.split(self.rng)
-                # the kwargs here must STAY IDENTICAL to step()'s call:
-                # jit's tracing-cache key includes the kwargs pytree
-                # structure, so `extras=None` explicitly-passed and omitted
-                # are DIFFERENT keys — omitting them here made every prewarm
-                # graph dead weight and each (window, bucket) recompiled
-                # cold mid-run (~36 s/graph over the tunnel; the round-4
-                # TTFT regression, results_chain/online_debug.log)
-                toks, _, win_bufs, _ = _decode_n_multi(
-                    self.model_params, self.cfg, k, self.dtype, zeros_b,
-                    pos0, self.cache, inactive, self.freqs_cis, col_valid,
-                    f1, f1, zeros_b, f1, r, read_bound=rb, extras=None,
-                    want_logprobs=False, n_cands=0)
-                # warm the grouped commit graphs too (full chunk + remainder
-                # chunk shapes; inactive rows -> state-preserving)
-                self.cache = self._commit_cache(self.cache, win_bufs,
-                                                pos0, inactive)
-                np.asarray(toks)
-                n += 1
+                for ext in extra_sets:
+                    self.rng, r = jax.random.split(self.rng)
+                    # the kwargs here must STAY IDENTICAL to step()'s call:
+                    # jit's tracing-cache key includes the kwargs pytree
+                    # structure, so `extras=None` explicitly-passed and
+                    # omitted are DIFFERENT keys — omitting them here made
+                    # every prewarm graph dead weight and each (window,
+                    # bucket) recompiled cold mid-run (~36 s/graph over the
+                    # tunnel; the round-4 TTFT regression,
+                    # results_chain/online_debug.log)
+                    toks, _, win_bufs, _ = _decode_n_multi(
+                        self.model_params, self.cfg, k, self.dtype, zeros_b,
+                        pos0, self.cache, inactive, self.freqs_cis,
+                        col_valid, f1, f1, zeros_b, f1, r, read_bound=rb,
+                        extras=ext, want_logprobs=False, n_cands=0)
+                    # warm the grouped commit graphs too (full chunk +
+                    # remainder shapes; inactive rows -> state-preserving)
+                    self.cache = self._commit_cache(self.cache, win_bufs,
+                                                    pos0, inactive)
+                    np.asarray(toks)
+                    n += 1
         n += self._prewarm_admission()
         return n
 
@@ -1518,7 +1563,14 @@ class ServeEngine:
                               f1, f1, jnp.zeros(m, jnp.int32), f1)
             _dev_finish_update(jnp.zeros(self.rows, jnp.int32),
                                jnp.zeros(self.rows, bool), sl)
-            n += 2
+            _dev_admit_extras_update(
+                jnp.zeros((self.max_batch, self.cfg.vocab_size), jnp.int32),
+                jnp.zeros(self.max_batch, jnp.float32),
+                jnp.zeros(self.max_batch, jnp.float32),
+                jnp.zeros(self.max_batch, jnp.float32),
+                jnp.ones(self.max_batch, jnp.float32),
+                sl, jnp.zeros(m, jnp.int32), f1, f1, f1, f1)
+            n += 3
         return n
 
     def _prewarm_cond_emb(self):
