@@ -177,17 +177,22 @@ def _jarr(x, dtype=None):
     return jnp.asarray(np.asarray(x, dtype))
 
 
-@functools.partial(jax.jit, donate_argnums=tuple(range(8)))
+@jax.jit
 def _dev_admit_update(slot_tokens, pos, active, col_valid, cfg_scales, temps,
                       top_ks, top_ps, slots, toks, pos_val, act_c, act_u,
                       col_c, col_u, scs, tes, tks, tps):
-    """Apply an admission cohort to the device-resident step args IN PLACE
-    (donated) instead of invalidating them: a full `_dev = None` re-upload
-    is ~8 host->device round trips, and at low arrival rates nearly every
-    window has an admission, so the round-3 device-residency win never
-    engaged (online rate-2 steps ran 2.2 s vs 0.7 s at rate 4). Padded
-    cohorts repeat the last slot — duplicate scatter indices write the same
-    values."""
+    """Apply an admission cohort to the device-resident step args on device
+    instead of invalidating them: a full `_dev = None` re-upload is ~8
+    host->device round trips, and at low arrival rates nearly every window
+    has an admission, so the round-3 device-residency win never engaged
+    (online rate-2 steps ran 2.2 s vs 0.7 s at rate 4). Padded cohorts
+    repeat the last slot — duplicate scatter indices write the same values.
+
+    Deliberately NOT donated: the previous window's chunk commits may still
+    hold pos/active as pending readers (the only host sync is on the decode
+    output), and an in-place donated write can race them — the suspected
+    cause of two transient wrong-stream CPU failures this round (CLAUDE.md
+    XLA-CPU flake note). These arrays are tiny; copying is free."""
     rows_c, rows_u = 2 * slots, 2 * slots + 1
     return (slot_tokens.at[slots].set(toks),
             pos.at[rows_c].set(pos_val).at[rows_u].set(pos_val),
@@ -199,7 +204,7 @@ def _dev_admit_update(slot_tokens, pos, active, col_valid, cfg_scales, temps,
             top_ps.at[slots].set(tps))
 
 
-@functools.partial(jax.jit, donate_argnums=tuple(range(5)))
+@jax.jit
 def _dev_admit_extras_update(counts, min_ps, pres, freq, rep, slots, toks,
                              mps, prs, fqs, rps):
     """Extras companion to _dev_admit_update: reset an admitted cohort's
@@ -216,9 +221,10 @@ def _dev_admit_extras_update(counts, min_ps, pres, freq, rep, slots, toks,
             freq.at[slots].set(fqs), rep.at[slots].set(rps))
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
+@jax.jit
 def _dev_finish_update(pos, active, slots):
-    """Retire finished slots on device (companion to _dev_admit_update)."""
+    """Retire finished slots on device (companion to _dev_admit_update;
+    not donated — see _dev_admit_update's pending-readers note)."""
     rows_c, rows_u = 2 * slots, 2 * slots + 1
     z = jnp.zeros_like(slots)
     return (pos.at[rows_c].set(z).at[rows_u].set(z),
@@ -230,6 +236,16 @@ def _pow2ceil(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def _pow2_buckets(limit: int):
+    """All pow2 cohort sizes up to pow2ceil(limit) inclusive."""
+    out, m = [], 1
+    while m < limit:
+        out.append(m)
+        m *= 2
+    out.append(m)
+    return out
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -1260,9 +1276,7 @@ class ServeEngine:
         """Batched draft-model prefill for newly admitted rows (pow2-padded
         like the target path; no prefix caching — the draft is cheap and its
         rows must exist for EVERY request, hits included)."""
-        m_pad = 1
-        while m_pad < len(draft_jobs):
-            m_pad *= 2
+        m_pad = _pow2ceil(len(draft_jobs))
         padded = draft_jobs + [draft_jobs[-1]] * (m_pad - len(draft_jobs))
         embs = jnp.concatenate([j[1] for j in padded], axis=0)
         masks = jnp.asarray(np.stack([j[2] for j in padded]))
@@ -1359,12 +1373,16 @@ class ServeEngine:
                 self.pos[2 * i] = 0
                 self.pos[2 * i + 1] = 0
                 self.stats["requests_done"] += 1
-        if finished:
-            # rebuild the stable device args next step (finishes are rare
-            # in spec mode — one per request — and the conservative rebuild
-            # avoids donating dev["active"]/dev["pos"] while this step's
-            # chunk commits may still hold them as pending readers)
-            self._dev = None
+        if finished and self._dev is not None:
+            # retire on device (non-donating update — safe against this
+            # step's still-pending chunk-commit readers; pos re-uploads
+            # next step anyway)
+            m_pad = _pow2ceil(len(finished))
+            slot_ids = [i for i in active_slots if self.slots[i] is None]
+            slot_ids += [slot_ids[-1]] * (m_pad - len(slot_ids))
+            self._dev["pos"], self._dev["active"] = _dev_finish_update(
+                self._dev["pos"], self._dev["active"],
+                _jarr(slot_ids, np.int32))
         self.stats["steps"] += 1
         return finished
 
@@ -1412,7 +1430,8 @@ class ServeEngine:
             "max_batch": self.max_batch, "decode_window": self.decode_window,
             "kv_int8": self.kv_int8, "kv_int4": self.kv_int4})
 
-    def prewarm(self, windows=None, extras: bool = False) -> int:
+    def prewarm(self, windows=None, extras: bool = False,
+                logprobs: bool = False) -> int:
         """Compile every decode-window graph the engine can dispatch —
         (window k) x (read bucket) — WITHOUT touching engine state: the
         dummy call runs with active=all-False, so cache writes write back
@@ -1421,8 +1440,9 @@ class ServeEngine:
         percentiles; benches call this before the clock starts.
 
         `extras=True` additionally warms the penalties/min_p decode-window
-        variants (doubles the decode-graph compile count — opt in when the
-        deployment serves requests with penalties).
+        variants; `logprobs=True` the want_logprobs variants (logprobs /
+        best_of requests flip it). Each multiplies the decode-graph compile
+        count — opt in per what the deployment serves.
 
         Returns the number of graphs compiled."""
         zeros_b = jnp.zeros(self.max_batch, jnp.int32)
@@ -1450,6 +1470,11 @@ class ServeEngine:
                                                       pos0, inactive)
                 np.asarray(toks)
                 n += 1
+            # spec ONLINE serving admits through the same glue as decode
+            # mode — warm the admission set (incl. the draft prefills) or
+            # the first mid-run admission stalls every arrival behind a
+            # cold compile, exactly the round-3 TTFT failure
+            n += self._prewarm_admission()
             return n
         windows = windows or sorted({1, self.decode_window})
         col_valid = jnp.asarray(self.col_valid)
@@ -1463,10 +1488,12 @@ class ServeEngine:
                 "freq": jnp.zeros(self.max_batch, jnp.float32),
                 "rep": jnp.ones(self.max_batch, jnp.float32),
             })
+        lp_sets = [False, True] if logprobs else [False]
         n = 0
         for k in windows:
             for rb in self._read_buckets:
-                for ext in extra_sets:
+                for ext, lp in [(e, l) for e in extra_sets
+                                for l in lp_sets]:
                     self.rng, r = jax.random.split(self.rng)
                     # the kwargs here must STAY IDENTICAL to step()'s call:
                     # jit's tracing-cache key includes the kwargs pytree
@@ -1480,7 +1507,7 @@ class ServeEngine:
                         self.model_params, self.cfg, k, self.dtype, zeros_b,
                         pos0, self.cache, inactive, self.freqs_cis,
                         col_valid, f1, f1, zeros_b, f1, r, read_bound=rb,
-                        extras=ext, want_logprobs=False, n_cands=0)
+                        extras=ext, want_logprobs=lp, n_cands=0)
                     # warm the grouped commit graphs too (full chunk +
                     # remainder shapes; inactive rows -> state-preserving)
                     self.cache = self._commit_cache(self.cache, win_bufs,
@@ -1504,12 +1531,18 @@ class ServeEngine:
         emb1 = self._prewarm_cond_emb()
         mask1 = np.tril(np.ones((t, t), bool))[None]
         n = 0
-        sizes = []
-        m = 1
-        while m < self.max_batch + 1:     # jobs can reach max_batch + 1
-            sizes.append(m)
-            m *= 2
-        sizes.append(m)
+        # a full cohort can queue up to 2*max_batch prefill jobs: for t2i,
+        # every distinct emb_mask contributes its own UNCOND miss (the
+        # uncond prefix key includes the mask), so the jobs bound is rows,
+        # not max_batch (+1) — with a non-pow2 max_batch the old bound left
+        # the top bucket cold, a ~60 s mid-run stall on the first full t2i
+        # admission
+        sizes = _pow2_buckets(2 * self.max_batch)
+        demb1 = None
+        if self.draft_params is not None:
+            demb1 = gpt.embed_cond(self.draft_params, self.draft_cfg,
+                                   jnp.zeros((1,), jnp.int32),
+                                   train=False, dtype=self.ddtype)
         for m in sizes:
             # same ops as the live admission glue (concatenate of m (1,...)
             # pieces, per-row logits slices), not just same shapes: each is
@@ -1522,6 +1555,15 @@ class ServeEngine:
                 self.model_params, self.cfg, embs, masks, self.freqs_cis,
                 self.kv_int8, self.kv_int4, self.dtype)
             self.cache = self._scatter_cache(self.cache, mini, rows)
+            if self.draft_params is not None:
+                # spec mode prefills the DRAFT for every admitted row too
+                dembs = jnp.concatenate([demb1] * m, axis=0)
+                _, dmini = self._prefill_mini(
+                    self.draft_params, self.draft_cfg, dembs, masks,
+                    self.draft_freqs, False, False, self.ddtype)
+                self.draft_cache = self._scatter_cache(self.draft_cache,
+                                                       dmini, rows)
+                n += 1
             if m <= _pow2ceil(self.max_batch):   # cohort sampler buckets
                 row0 = logits[0:1]
                 cond_l = jnp.concatenate([row0] * m, axis=0)
@@ -1536,11 +1578,10 @@ class ServeEngine:
         # prefix-cache row extract + batched hit-insert buckets: every
         # pow2 cohort size the admission glue can dispatch mid-run
         kv_rows = self._extract_rows(self.cache, jnp.asarray(0), t)
-        m = 1
-        while m <= min(self._INSERT_COHORT_MAX, 2 * self.max_batch):
+        for m in _pow2_buckets(min(self._INSERT_COHORT_MAX,
+                                   2 * self.max_batch)):
             self._insert_rows_batched([(kv_rows, 0)] * m)
             n += 1
-            m *= 2
         # device-arg update graphs per cohort bucket
         for m in [s for s in sizes if s <= _pow2ceil(self.max_batch)]:
             dv = {"slot_tokens": jnp.zeros(self.max_batch, jnp.int32),

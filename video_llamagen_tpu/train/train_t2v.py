@@ -135,8 +135,15 @@ def main(argv=None):
         params = jax.tree_util.tree_map(jax.device_put, params,
                                         shardings.params)
         s = ckpt.latest_step()
-        state = state._replace(params=params,
-                               step=jnp.asarray(s, jnp.int32))
+        repl = dict(params=params, step=jnp.asarray(s, jnp.int32))
+        if state.ema_params is not None:
+            # restore the EMA subtree too (falls back to params when the
+            # checkpoint has none) — see train_c2i.py fast-resume note
+            eparams = load_params_subtree(
+                f"{args.results_dir}/checkpoints", sds, ema=True)
+            repl["ema_params"] = jax.tree_util.tree_map(
+                jax.device_put, eparams, shardings.params)
+        state = state._replace(**repl)
         logger.info(f"fast-resumed params from step {s} "
                     f"(fresh opt state) in {time.time() - t0:.1f}s")
     elif args.resume and ckpt.latest_step() is not None:

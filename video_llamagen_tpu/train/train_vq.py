@@ -207,7 +207,8 @@ def main(argv=None):
     else:
         cfg = vq_config(args.vq_model, remat=args.remat)
         size = args.image_size
-    ema_kw = {"ema_decay": args.ema_decay} if args.ema_decay else {}
+    ema_kw = ({"ema_decay": args.ema_decay}
+              if args.ema_decay is not None else {})
     tcfg = TrainConfig(lr=args.lr, global_batch_size=args.global_batch_size,
                        ema=args.ema, log_every=args.log_every, **ema_kw)
     mesh = pmesh.make_mesh(MeshConfig(data=args.data, fsdp=args.fsdp))
