@@ -348,3 +348,32 @@ def test_engine_cache_group_invariant(params):
         assert eng.stats["prefix_hits"] > 0
         streams[group] = sorted((r.request_id, tuple(r.tokens)) for r in done)
     assert streams[1] == streams[2] == streams[8]
+
+
+def test_prewarm_covers_extras_and_logprobs_variants(params):
+    """prewarm(extras=True, logprobs=True) must compile the penalties and
+    want_logprobs decode-window variants with the exact live keys: a
+    penalties+logprobs request that crosses a read bucket after a warm
+    drain may not trace a single new decode graph."""
+    from video_llamagen_tpu.serve import engine as eng_mod
+    cfg = GPTConfig(dim=64, n_layer=2, n_head=4, vocab_size=97,
+                    num_classes=10, block_size=256, cls_token_num=1,
+                    model_type="c2i", dtype="float32")
+    p = gpt.init_gpt_params(jax.random.key(1), cfg)
+    eng = ServeEngine(p, cfg, max_batch=2, decode_window=8)
+    eng.prewarm(extras=True, logprobs=True)
+    warm = SamplingParams(max_tokens=2 * 8, cfg_scale=2.0, top_k=5,
+                          presence_penalty=0.3, logprobs=True)
+    eng.generate([3], warm, offline_fast_path=False)
+    n0 = eng_mod._decode_n_multi._cache_size()
+    sp = SamplingParams(max_tokens=250, cfg_scale=2.0, top_k=5,
+                        presence_penalty=0.3, logprobs=True)
+    eng.add_request(np.int32(4), sp)
+    steps = 0
+    while eng.has_unfinished() and steps < 400:
+        eng.step()
+        steps += 1
+    assert not eng.has_unfinished()
+    assert eng_mod._decode_n_multi._cache_size() == n0, \
+        "extras/logprobs decode window traced a NEW graph after " \
+        "prewarm(extras=True, logprobs=True)"
