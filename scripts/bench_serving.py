@@ -25,7 +25,7 @@ import numpy as np
 
 def build(model, max_batch, weight_int8=False, kv_int8=False,
           decode_window=1, n_tokens=576, kv_int4=False, draft_model=None,
-          spec_k=4, weight_int4=False):
+          spec_k=4, weight_int4=False, cache_group=8):
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.serve.engine import ServeEngine
@@ -60,7 +60,7 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
                       kv_int8=kv_int8,
                       kv_int4=kv_int4, decode_window=decode_window,
                       draft_params=draft_params, draft_cfg=draft_cfg,
-                      spec_k=spec_k)
+                      spec_k=spec_k, cache_group=cache_group)
     del params, draft_params
     return cfg, eng
 
@@ -108,7 +108,8 @@ def bench_online(args):
                    args.kv_int8, decode_window=args.decode_window,
                    n_tokens=args.n_tokens, kv_int4=args.kv_int4,
                    draft_model=args.draft_model, spec_k=args.spec_k,
-                   weight_int4=args.weight_int4)
+                   weight_int4=args.weight_int4,
+                   cache_group=args.cache_group)
     sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
 
     # Compile every dispatchable graph BEFORE the clock starts — decode
@@ -243,6 +244,9 @@ def main():
                         "(warmup compiles are paid once)")
     p.add_argument("--num-requests", type=int, default=32)
     p.add_argument("--decode-window", type=int, default=16)
+    p.add_argument("--cache-group", type=int, default=8,
+                   help="layers per cache-maintenance dispatch (engine "
+                        "cache_group)")
     p.add_argument("--debug", action="store_true",
                    help="per-step timing lines + jax_log_compiles after "
                         "warmup (diagnose online stalls; skews the rec)")
