@@ -321,12 +321,14 @@ def test_prewarm_key_matches_live_decode_path(params):
         "call-signature drift)"
 
 
-def test_engine_cache_group_invariant(params):
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_engine_cache_group_invariant(params, kv_int8):
     """Chunk-grouped cache maintenance (commit/scatter/batched hit inserts)
     is a dispatch-count optimization only: engines differing ONLY in
     cache_group must emit identical token streams. Covers full chunks, a
-    remainder chunk (3 layers @ group 2), whole-cache-in-one-chunk, and the
-    prefix-hit batched-insert path (duplicate conds, CFG on)."""
+    remainder chunk (3 layers @ group 2), whole-cache-in-one-chunk, the
+    prefix-hit batched-insert path (duplicate conds, CFG on), and both the
+    bf16 and seq-minor int8 cache layouts."""
     cfg = TINY.replace(n_layer=3)
     p = gpt.init_gpt_params(jax.random.key(0), cfg)
     p = dict(p)
@@ -336,7 +338,8 @@ def test_engine_cache_group_invariant(params):
     streams = {}
     for group in (1, 2, 8):
         eng = ServeEngine(p, cfg, max_batch=2, decode_window=2,
-                          prefix_cache_size=8, cache_group=group)
+                          prefix_cache_size=8, cache_group=group,
+                          kv_int8=kv_int8)
         done = []
         steps = 0
         for c in conds:
