@@ -2,9 +2,12 @@
 
 Why this exists alongside `ops/quant.qlinear4` (the XLA s4 grouped einsum):
 whether XLA streams `jnp.int4` buffers PACKED through dots on this TPU —
-or upcast-materializes an s8 copy first, negating the bandwidth win — is an
-open chip question (CLAUDE.md; probe variants J/K ask it for the int4 KV
-cache). This kernel removes the dependence on XLA's s4 handling entirely:
+or upcast-materializes an s8 copy first, negating the bandwidth win — was
+an open chip question, ANSWERED for the int4 KV cache by probe J/L
+(results_chain/probe_j_r4.log): XLA does NOT stream s4 packed (13.6x
+slower than int8, OOM on upcast temps at b256), which makes this kernel
+the only viable 4-bit bandwidth path. It removes the dependence on XLA's
+s4 handling entirely:
 weights are packed two-nibbles-per-byte into a plain uint8 buffer on the
 host side, and the kernel unpacks them in-register with integer shifts, so
 the HBM stream is in*out/2 bytes by construction.
