@@ -89,12 +89,25 @@ def bench_offline(args):
                "total_s": round(dt, 3),
                "tok_s": round(args.batch * args.n_tokens / dt, 1),
                "iter_times": [round(t, 3) for t in times]}
+        if args.draft_model:
+            rec["draft_model"] = args.draft_model
+            rec["spec_k"] = args.spec_k
+            stats = eng.log_stats()
+            if "spec_alpha" in stats:
+                rec["spec_alpha"] = stats["spec_alpha"]
         print(json.dumps(rec), flush=True)
+        # key must disambiguate every config that changes the number:
+        # quantization AND batch AND spec mode (a spec-b32 row once
+        # clobbered the plain GPT-L b8 row because neither was keyed)
         key = model + ("_w8" if args.weight_int8 else "") \
                     + ("_w4p" if args.weight_int4 == "packed"
                        else "_w4" if args.weight_int4 else "") \
                     + ("_kv8" if args.kv_int8 else "") \
                     + ("_kv4" if args.kv_int4 else "")
+        if args.batch != 8:
+            key += f"_b{args.batch}"
+        if args.draft_model:
+            key += f"_spec{args.spec_k}_{args.draft_model}"
         out[key] = rec
         del eng
     _merge("bench_serving_offline.json", out)

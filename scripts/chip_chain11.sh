@@ -1,0 +1,110 @@
+#!/bin/bash
+# Round-4 chain, take 5: repair pass for chain10's cascade failures.
+#
+# What chain10 got wrong (results_chain/chain10.log ~23:50):
+#   - qp_vq_r5/qp_codes_r5/gptL100_* failed because the VM wipe also took
+#     results_quality/train_images.npy — the `quality_loop.py data` stage
+#     was missing from the chain (its round-3 done-marker survived the
+#     wipe; the artifact didn't).
+#   - gpt7b_w4_kv8_r4 OOMed at compile: the seq-minor s8 KV layout pads
+#     4x at GPT-7B dims (32 KV heads land in the 128-lane dim: 64 cache
+#     entries x 288M padded = 18.4G vs 4.7G unpadded). Retry serves bf16
+#     KV at batch 8 (W4 weights): ~4.8G cache in the (B,KH,S,D) layout
+#     that pads <2%, +3.3G weights — fits.
+# chain10 continues through the t2i loop; its kvgate rows are pre-marked
+# done (no trained GPT-L exists post-wipe) and re-run here AFTER the
+# quality pipeline rebuilds.
+#
+#   nohup bash scripts/chip_chain11.sh > results_chain/chain11.log 2>&1 &
+#   echo $! > results_chain/chain11.pid
+#
+# Stop cleanly: touch results_chain/STOP (never SIGKILL a TPU client).
+
+set -u
+cd "$(dirname "$0")/.."
+OUT=$PWD/results_chain
+mkdir -p "$OUT"
+DEADLINE=$(( $(date +%s) + 28800 ))   # stop STARTING rows after 8 h
+
+say() { echo "[$(date -u +%H:%M:%S)] $*"; }
+
+# ---- wait for chain10 to exit (pid-based; no TPU clients spawned) -------
+if [ -f "$OUT/chain10.pid" ]; then
+    C10=$(cat "$OUT/chain10.pid")
+    while kill -0 "$C10" 2>/dev/null; do
+        [ -f "$OUT/STOP" ] && { say "STOP file — exiting"; exit 0; }
+        say "chain10 ($C10) still running; sleeping 120s"
+        sleep 120
+    done
+    say "chain10 exited"
+fi
+
+probe_tpu() {
+    timeout 240 python -c \
+      "import jax; assert jax.default_backend() == 'tpu'" 2>/dev/null
+}
+
+wait_for_tpu() {
+    while true; do
+        [ -f "$OUT/STOP" ] && { say "STOP file — exiting"; exit 0; }
+        [ "$(date +%s)" -ge "$DEADLINE" ] && { say "deadline — exiting"; exit 0; }
+        if probe_tpu; then say "TPU tunnel UP"; return 0; fi
+        say "tunnel still down; sleeping 300s"
+        sleep 300
+    done
+}
+
+run() {
+    local tag=$1 tmo=$2; shift 2
+    [ -f "$OUT/$tag.done" ] && { say "skip $tag (done)"; return 0; }
+    [ -f "$OUT/STOP" ] && exit 0
+    [ "$(date +%s)" -ge "$DEADLINE" ] && { say "deadline — exiting"; exit 0; }
+    wait_for_tpu
+    say "=== $tag (timeout ${tmo}s) ==="
+    if timeout "$tmo" "$@" >> "$OUT/$tag.log" 2>&1; then
+        touch "$OUT/$tag.done"; say "$tag OK"
+    else
+        say "$tag FAILED rc=$? (log: results_chain/$tag.log)"
+    fi
+}
+
+# --- P0: GPT-7B W4 on bf16 KV, batch 8 (layout-safe; checkpoint-free) ----
+run gpt7b_w4_b8_r4 7200 python scripts/bench_serving.py offline GPT-7B \
+    --batch 8 --weight-int4
+
+# --- P1: quality pipeline rebuild WITH the data stage --------------------
+run qp_data_r5  1800 python scripts/quality_loop.py data
+run qp_vq_r5b   5400 python scripts/quality_loop.py vq --steps 1500
+run qp_codes_r5b 2700 python scripts/quality_loop.py codes
+
+# --- P2: GPT-L 100-step FID point (the missing series half) --------------
+run gptL100_train_r5b  2700 python scripts/quality_loop.py gpt \
+    --gpt-model GPT-L --gpt-dir gptL100 --steps 100 --ckpt-every 100
+run gptL100_sample_r5b 3600 python scripts/quality_loop.py sample \
+    --gpt-model GPT-L --gpt-dir gptL100 --step 100
+run gptL100_fid_r5b    1800 python scripts/quality_loop.py fid \
+    --gpt-dir gptL100 --step 100
+run fid_merge_r5b 600 python scripts/merge_fid_series.py
+
+# --- P3: KV quality gates on the rebuilt trained GPT-L -------------------
+run kvgate_greedy_r5b 5400 python scripts/kv_quality_gate.py greedy
+for kv in bf16 int8 int4; do
+    run kvgate_sample_r5b_$kv 5400 python scripts/kv_quality_gate.py sample --kv $kv
+    run kvgate_fid_r5b_$kv    1800 python scripts/kv_quality_gate.py fid --kv $kv
+done
+
+# --- P4: gptL FID tail if the session is very long -----------------------
+run gptL_train_r5b 10800 python scripts/quality_loop.py gpt \
+    --gpt-model GPT-L --gpt-dir gptL --steps 3000 --ckpt-every 1000
+for s in 1000 3000; do
+    run gptL_sample_r5b_$s 3600 python scripts/quality_loop.py sample \
+        --gpt-model GPT-L --gpt-dir gptL --step $s
+    run gptL_fid_r5b_$s 1800 python scripts/quality_loop.py fid \
+        --gpt-dir gptL --step $s
+done
+run fid_merge_r5c 600 python scripts/merge_fid_series.py
+
+# --- final: fresh headline bench -----------------------------------------
+run bench11 3600 bash -c "python bench.py > $OUT/bench_chain11.json"
+
+say "chain11 complete"
