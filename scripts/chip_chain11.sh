@@ -1,19 +1,19 @@
 #!/bin/bash
-# Round-4 chain, take 5: repair pass for chain10's cascade failures.
+# Round-4 chain, take 5 (rewritten before any row ran): repair pass for
+# chain10's cascade failures, now carrying the FULL remaining queue in
+# value order.
 #
-# What chain10 got wrong (results_chain/chain10.log ~23:50):
-#   - qp_vq_r5/qp_codes_r5/gptL100_* failed because the VM wipe also took
-#     results_quality/train_images.npy — the `quality_loop.py data` stage
-#     was missing from the chain (its round-3 done-marker survived the
-#     wipe; the artifact didn't).
+# What chain10 got wrong (results_chain/chain10.log ~23:50-00:05):
+#   - qp_vq_r5/qp_codes_r5/gptL100_*/t2i_* all failed because the VM wipe
+#     also took results_quality/train_images.npy and codes/ — the
+#     `quality_loop.py data` stage was missing from the chain (its round-3
+#     done-marker survived the wipe; the artifact didn't). The t2i loop
+#     reads the same codes dir, so it must run AFTER qp_codes.
 #   - gpt7b_w4_kv8_r4 OOMed at compile: the seq-minor s8 KV layout pads
 #     4x at GPT-7B dims (32 KV heads land in the 128-lane dim: 64 cache
 #     entries x 288M padded = 18.4G vs 4.7G unpadded). Retry serves bf16
 #     KV at batch 8 (W4 weights): ~4.8G cache in the (B,KH,S,D) layout
 #     that pads <2%, +3.3G weights — fits.
-# chain10 continues through the t2i loop; its kvgate rows are pre-marked
-# done (no trained GPT-L exists post-wipe) and re-run here AFTER the
-# quality pipeline rebuilds.
 #
 #   nohup bash scripts/chip_chain11.sh > results_chain/chain11.log 2>&1 &
 #   echo $! > results_chain/chain11.pid
@@ -24,7 +24,7 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=$PWD/results_chain
 mkdir -p "$OUT"
-DEADLINE=$(( $(date +%s) + 28800 ))   # stop STARTING rows after 8 h
+DEADLINE=$(( $(date +%s) + 43200 ))   # stop STARTING rows after 12 h
 
 say() { echo "[$(date -u +%H:%M:%S)] $*"; }
 
@@ -86,14 +86,21 @@ run gptL100_fid_r5b    1800 python scripts/quality_loop.py fid \
     --gpt-dir gptL100 --step 100
 run fid_merge_r5b 600 python scripts/merge_fid_series.py
 
-# --- P3: KV quality gates on the rebuilt trained GPT-L -------------------
+# --- P3: t2i caption-control loop (needs qp codes + train_images) --------
+run t2i_train_r5b  7200 python scripts/t2i_quality.py train --steps 3000
+run t2i_sample_trained_r5b 5400 python scripts/t2i_quality.py sample --tag trained
+run t2i_sample_random_r5b  5400 python scripts/t2i_quality.py sample --tag random_init
+run t2i_sample_uncond_r5b  5400 python scripts/t2i_quality.py sample --tag uncond
+run t2i_score_r5b  3600 python scripts/t2i_quality.py score
+
+# --- P4: KV quality gates on the rebuilt trained GPT-L -------------------
 run kvgate_greedy_r5b 5400 python scripts/kv_quality_gate.py greedy
 for kv in bf16 int8 int4; do
     run kvgate_sample_r5b_$kv 5400 python scripts/kv_quality_gate.py sample --kv $kv
     run kvgate_fid_r5b_$kv    1800 python scripts/kv_quality_gate.py fid --kv $kv
 done
 
-# --- P4: gptL FID tail if the session is very long -----------------------
+# --- P5: gptL FID tail if the session is very long -----------------------
 run gptL_train_r5b 10800 python scripts/quality_loop.py gpt \
     --gpt-model GPT-L --gpt-dir gptL --steps 3000 --ckpt-every 1000
 for s in 1000 3000; do
