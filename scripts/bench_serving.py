@@ -25,7 +25,7 @@ import numpy as np
 
 def build(model, max_batch, weight_int8=False, kv_int8=False,
           decode_window=1, n_tokens=576, kv_int4=False, draft_model=None,
-          spec_k=4, weight_int4=False, cache_group=8):
+          spec_k=4, weight_int4=False, cache_group=8, kv_merged=False):
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.serve.engine import ServeEngine
@@ -58,7 +58,8 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
     eng = ServeEngine(params, cfg, max_batch=max_batch,
                       weight_int8=weight_int8, weight_int4=weight_int4,
                       kv_int8=kv_int8,
-                      kv_int4=kv_int4, decode_window=decode_window,
+                      kv_int4=kv_int4, kv_merged=kv_merged,
+                      decode_window=decode_window,
                       draft_params=draft_params, draft_cfg=draft_cfg,
                       spec_k=spec_k, cache_group=cache_group)
     del params, draft_params
@@ -71,7 +72,8 @@ def bench_offline(args):
     for model in args.models:
         cfg, eng = build(model, args.batch, args.weight_int8, args.kv_int8,
                          kv_int4=args.kv_int4, draft_model=args.draft_model,
-                         spec_k=args.spec_k, weight_int4=args.weight_int4)
+                         spec_k=args.spec_k, weight_int4=args.weight_int4,
+                         kv_merged=args.kv_merged, n_tokens=args.n_tokens)
         sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0,
                             top_k=1000)
         conds = list(range(args.batch))
@@ -85,7 +87,7 @@ def bench_offline(args):
         rec = {"model": model, "batch": args.batch, "n_tokens": args.n_tokens,
                "weight_int8": args.weight_int8,
                "weight_int4": args.weight_int4, "kv_int8": args.kv_int8,
-               "kv_int4": args.kv_int4,
+               "kv_int4": args.kv_int4, "kv_merged": args.kv_merged,
                "total_s": round(dt, 3),
                "tok_s": round(args.batch * args.n_tokens / dt, 1),
                "iter_times": [round(t, 3) for t in times]}
@@ -97,15 +99,21 @@ def bench_offline(args):
                 rec["spec_alpha"] = stats["spec_alpha"]
         print(json.dumps(rec), flush=True)
         # key must disambiguate every config that changes the number:
-        # quantization AND batch AND spec mode (a spec-b32 row once
-        # clobbered the plain GPT-L b8 row because neither was keyed)
+        # quantization AND batch AND n_tokens AND spec mode (a spec-b32 row
+        # once clobbered the plain GPT-L b8 row because neither was keyed).
+        # Non-default values are compared against the PARSER defaults, not
+        # hard-coded literals, so changing a default can't silently re-alias
+        # old keys.
         key = model + ("_w8" if args.weight_int8 else "") \
                     + ("_w4p" if args.weight_int4 == "packed"
                        else "_w4" if args.weight_int4 else "") \
                     + ("_kv8" if args.kv_int8 else "") \
-                    + ("_kv4" if args.kv_int4 else "")
-        if args.batch != 8:
+                    + ("_kv4" if args.kv_int4 else "") \
+                    + ("_kvm" if args.kv_merged else "")
+        if args.batch != args.parser_defaults["batch"]:
             key += f"_b{args.batch}"
+        if args.n_tokens != args.parser_defaults["n_tokens"]:
+            key += f"_t{args.n_tokens}"
         if args.draft_model:
             key += f"_spec{args.spec_k}_{args.draft_model}"
         out[key] = rec
@@ -251,6 +259,11 @@ def main():
     p.add_argument("--kv-int4", action="store_true",
                    help="s4 KV cache (quarter the bf16 KV stream; "
                         "models/gpt.init_kv_cache_int4)")
+    p.add_argument("--kv-merged", action="store_true",
+                   help="merged (B*KH, S, D) cache layout — required at "
+                        "GPT-7B dims (layout-padding OOM otherwise; "
+                        "models/gpt.init_kv_cache_merged). Composes with "
+                        "--kv-int8; offline mode only")
     p.add_argument("--rate", type=float, default=4.0)
     p.add_argument("--rates", type=float, nargs="+", default=None,
                    help="measure several Poisson rates in ONE process "
@@ -264,8 +277,12 @@ def main():
                    help="per-step timing lines + jax_log_compiles after "
                         "warmup (diagnose online stalls; skews the rec)")
     args = p.parse_args()
+    args.parser_defaults = {"batch": p.get_default("batch"),
+                            "n_tokens": p.get_default("n_tokens")}
     if args.weight_int4_packed:
         args.weight_int4 = "packed"   # build() packs after quantizing
+    if args.kv_merged and args.mode != "offline":
+        p.error("--kv-merged supports offline mode only")
     if args.mode == "offline":
         bench_offline(args)
     else:

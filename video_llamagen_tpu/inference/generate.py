@@ -93,7 +93,7 @@ def _plan_chunks(n_steps: int, t_cond: int, s_max: int,
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "cfg_scale", "cfg_interval",
                      "temperature", "top_k", "top_p", "sample_logits",
-                     "kv_int8", "kv_int4", "n_chunks"),
+                     "kv_int8", "kv_int4", "kv_merged", "n_chunks"),
 )
 def generate(params, cfg: GPTConfig, cond: jnp.ndarray, rng: jax.Array,
              max_new_tokens: int,
@@ -101,7 +101,7 @@ def generate(params, cfg: GPTConfig, cond: jnp.ndarray, rng: jax.Array,
              cfg_scale: float = 1.0, cfg_interval: int = -1,
              temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
              sample_logits: bool = True, kv_int8: bool = False,
-             kv_int4: bool = False,
+             kv_int4: bool = False, kv_merged: bool = False,
              n_chunks: int = 4) -> jnp.ndarray:
     """Generate image tokens. Returns (B, max_new_tokens) int32.
 
@@ -111,6 +111,9 @@ def generate(params, cfg: GPTConfig, cond: jnp.ndarray, rng: jax.Array,
     kv_int8 halves KV-cache HBM (per-token int8, ~0.4% quant error);
     kv_int4 quarters it (s4 + per-group K scales, ~7% score noise — see
     models/gpt.init_kv_cache_int4).
+    kv_merged stores the cache as (B*KH, S, D) — REQUIRED at GPT-7B dims,
+    where the (B,KH,S,D) layout pads 8x and OOMs at compile (see
+    models/gpt.init_kv_cache_merged); composes with kv_int8.
     n_chunks: decode-scan segments with ramped KV read-windows (bit-identical
     to n_chunks=1; ~1.3-1.5x decode throughput, +compile time per segment).
     """
@@ -132,9 +135,14 @@ def generate(params, cfg: GPTConfig, cond: jnp.ndarray, rng: jax.Array,
         emb_masks2 = emb_masks
     prefill_mask, col_valid = _prefill_mask(t_cond, s_max, emb_masks2, batch_cfg)
 
-    cache = (gpt.init_kv_cache_int4(cfg, batch_cfg, s_max) if kv_int4
-             else gpt.init_kv_cache_int8(cfg, batch_cfg, s_max) if kv_int8
-             else gpt.init_kv_cache(cfg, batch_cfg, s_max, dtype))
+    if kv_merged:
+        cache = (gpt.init_kv_cache_int8_merged(cfg, batch_cfg, s_max)
+                 if kv_int8
+                 else gpt.init_kv_cache_merged(cfg, batch_cfg, s_max, dtype))
+    else:
+        cache = (gpt.init_kv_cache_int4(cfg, batch_cfg, s_max) if kv_int4
+                 else gpt.init_kv_cache_int8(cfg, batch_cfg, s_max) if kv_int8
+                 else gpt.init_kv_cache(cfg, batch_cfg, s_max, dtype))
     logits, cache = gpt.prefill_forward(params, cfg, cond_emb, cache,
                                         prefill_mask, freqs_cis)
     if use_cfg:

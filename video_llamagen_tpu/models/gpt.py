@@ -420,6 +420,47 @@ def init_kv_cache_int8(cfg: GPTConfig, batch: int, max_seq: int):
             for _ in range(cfg.n_layer)]
 
 
+def init_kv_cache_merged(cfg: GPTConfig, batch: int, max_seq: int,
+                         dtype=jnp.bfloat16):
+    """bf16 KV cache with batch and kv-head MERGED: (B*KH, S, D).
+
+    Why this exists (measured, results_chain/gpt7b_w4_b8_r4.log): at GPT-7B
+    dims the (B, KH, S, D) cache at batch 8 (16 CFG rows) gets XLA layout
+    {0,3,1,2} — batch lands in the 128-lane dim and every one of the 64
+    post-prefill cache temps pads 8.0x (72 MB -> 577 MB, 28.9 GB of HLO
+    temps -> compile OOM). The seq-minor int8 layout has the dual failure
+    (KH=32 in lanes, 4x). The root cause is that at 7B scale every cache dim
+    except S and D is SMALL, and XLA keeps electing a small dim as the lane
+    dim. Merging B*KH (= 512 at 7B batch-8-CFG) removes every small dim from
+    the buffer shape: any layout choice tiles near-perfectly (512 / 577 /
+    128), so padding is bounded at ~1-11% regardless of what the compiler
+    picks. Row index is b * KH + kh (b-major), so per-batch-row blocks stay
+    contiguous for prefill writes and engine row copies.
+
+    GQA bonus: grouped q (B*KH, n_rep*T, D) against (B*KH, S, D) needs NO
+    jnp.repeat of K/V — the n_rep query heads of a group share the cache
+    rows directly as a batched matmul.
+    """
+    shape = (batch * cfg.kv_heads, max_seq, cfg.head_dim)
+    return [{"km": jnp.zeros(shape, dtype), "vm": jnp.zeros(shape, dtype)}
+            for _ in range(cfg.n_layer)]
+
+
+def init_kv_cache_int8_merged(cfg: GPTConfig, batch: int, max_seq: int):
+    """int8 KV cache in the merged (B*KH, S, D) layout with per-token scales
+    (B*KH, S). Same layout-robustness argument as init_kv_cache_merged; with
+    D=128 (GPT-2B/3B/7B head_dim) the s8 lane dim is exact, so this variant
+    both halves KV bytes AND avoids the 7B-dims padding blowup that the
+    seq-minor kT layout hits (KH in lanes, 4x)."""
+    shape = (batch * cfg.kv_heads, max_seq, cfg.head_dim)
+    sshape = (batch * cfg.kv_heads, max_seq)
+    return [{"km": jnp.zeros(shape, jnp.int8),
+             "km_scale": jnp.zeros(sshape, jnp.bfloat16),
+             "vm": jnp.zeros(shape, jnp.int8),
+             "vm_scale": jnp.zeros(sshape, jnp.bfloat16)}
+            for _ in range(cfg.n_layer)]
+
+
 KV_INT4_GROUP = 16  # channels per int4 scale group (D=64 -> 4 groups)
 
 
@@ -460,6 +501,8 @@ def init_kv_cache_int4(cfg: GPTConfig, batch: int, max_seq: int):
 
 def cache_seq_len(cache) -> int:
     e = cache[0]
+    if "km" in e:
+        return e["km"].shape[1]
     if "kT4" in e:
         return e["kT4"].shape[3]
     return e["kT"].shape[3] if "kT" in e else e["k"].shape[2]
@@ -467,8 +510,10 @@ def cache_seq_len(cache) -> int:
 
 def entry_seq_axis(name: str, ndim: int) -> int:
     """Seq axis of a cache-entry tensor: last for seq-minor (kT/vT) names,
-    2 for the bf16 (B,KH,S,D) layout. Engine slot copy/swap helpers use this
-    to stay layout-agnostic."""
+    1 for merged (km/vm), 2 for the bf16 (B,KH,S,D) layout. Engine slot
+    copy/swap helpers use this to stay layout-agnostic."""
+    if name.startswith(("km", "vm")):
+        return 1
     return ndim - 1 if name.startswith(("kT", "vT")) else 2
 
 
@@ -513,6 +558,10 @@ def _entry_window(entry, window: Optional[int]):
     ms/row is KV traffic), so reading only a prefix window that covers the
     current position cuts the dominant term. Callers pick a static `window`
     per scan segment (inference/generate.py ramps it across chunks)."""
+    if "km" in entry:
+        if window is None or window >= entry["km"].shape[1]:
+            return entry
+        return {name: x[:, :window] for name, x in entry.items()}
     if "kT" in entry or "kT4" in entry:
         key = "kT" if "kT" in entry else "kT4"
         if window is None or window >= entry[key].shape[3]:
@@ -523,10 +572,24 @@ def _entry_window(entry, window: Optional[int]):
     return {name: x[:, :, :window] for name, x in entry.items()}
 
 
-def entry_kv(entry):
+def entry_kv(entry, kv_heads: Optional[int] = None):
     """Read a cache entry as attend-able (B,KH,S,D) bf16 K/V, dequantizing
     and/or un-transposing as needed (tests + debug; the hot paths read the
-    native layout directly)."""
+    native layout directly). Merged (km/vm) entries need `kv_heads` to
+    unflatten the (B*KH, S, D) rows."""
+    if "km" in entry:
+        km, vm = entry["km"], entry["vm"]
+        if "km_scale" in entry:
+            km = km.astype(jnp.bfloat16) * entry["km_scale"].astype(
+                jnp.bfloat16)[..., None]
+            vm = vm.astype(jnp.bfloat16) * entry["vm_scale"].astype(
+                jnp.bfloat16)[..., None]
+        if kv_heads is None:
+            raise ValueError("merged cache entry needs kv_heads to unflatten")
+        m, s, d = km.shape
+        b = m // kv_heads
+        return (km.reshape(b, kv_heads, s, d).astype(jnp.bfloat16),
+                vm.reshape(b, kv_heads, s, d).astype(jnp.bfloat16))
     if "kT4" in entry:
         b, kh, d, s = entry["kT4"].shape
         g = d // KV_INT4_GROUP
@@ -557,6 +620,25 @@ def _cache_write(entry, k_r: jnp.ndarray, v_r: jnp.ndarray, batch_off,
     """Contiguous write of rows k_r/v_r (B', KH, T, D) at [batch_off ...,
     seq_off:seq_off+T] (layout-aware)."""
     dus = jax.lax.dynamic_update_slice
+    if "km" in entry:
+        bp, kh, t, d = k_r.shape
+        km_r = k_r.reshape(bp * kh, t, d)
+        vm_r = v_r.reshape(bp * kh, t, d)
+        row_off = batch_off * kh
+        if "km_scale" in entry:
+            kq, ks = _quantize_kv(km_r)               # (M,T,D),(M,T,1)
+            vq, vs = _quantize_kv(vm_r)
+            sd = entry["km_scale"].dtype
+            return {"km": dus(entry["km"], kq, (row_off, seq_off, 0)),
+                    "km_scale": dus(entry["km_scale"], ks[..., 0].astype(sd),
+                                    (row_off, seq_off)),
+                    "vm": dus(entry["vm"], vq, (row_off, seq_off, 0)),
+                    "vm_scale": dus(entry["vm_scale"], vs[..., 0].astype(sd),
+                                    (row_off, seq_off))}
+        return {"km": dus(entry["km"], km_r.astype(entry["km"].dtype),
+                          (row_off, seq_off, 0)),
+                "vm": dus(entry["vm"], vm_r.astype(entry["vm"].dtype),
+                          (row_off, seq_off, 0))}
     if "kT4" in entry:
         kq, ks = _quantize_kv4(k_r)                    # (B,KH,T,D),(B,KH,T,G)
         vq, vs = _quantize_kv4_pertoken(v_r)           # (B,KH,T,D),(B,KH,T,1)
@@ -669,6 +751,76 @@ def _decode_attn(q, ck, cv, mask, n_rep: int):
     probs = jax.nn.softmax(scores, axis=-1)
     attn = jnp.einsum("bhqs,bhsd->bhqd", probs.astype(cv.dtype), cv)
     return jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, t, h * d)
+
+
+def _q_merged(q, n_rep: int):
+    """q (B,T,H,D) -> (B*KH, n_rep*T, D) with heads grouped (KH, n_rep) —
+    matches _repeat_kv's head->kv-head mapping (kh = h // n_rep)."""
+    b, t, h, d = q.shape
+    kh = h // n_rep
+    qh = jnp.transpose(q, (0, 2, 1, 3))                # (B,H,T,D)
+    return qh.reshape(b * kh, n_rep * t, d), b, t, h, kh
+
+
+def _attn_out_merged(attn_m, b, t, h, kh, n_rep):
+    """(B*KH, n_rep*T, D) -> (B, T, H*D), inverting _q_merged's grouping."""
+    d = attn_m.shape[-1]
+    a = attn_m.reshape(b, kh, n_rep, t, d)
+    return jnp.transpose(a, (0, 3, 1, 2, 4)).reshape(b, t, h * d)
+
+
+def _mask_merged(mask, scores5):
+    """Broadcast a (B|1, 1, T|1, S) decode mask over (B, KH, R, T, S)."""
+    return jnp.broadcast_to(mask[:, :, None], scores5.shape)
+
+
+def _decode_attn_merged(q, entry, mask, n_rep: int):
+    """Decode attention over the merged bf16 cache (km/vm: (B*KH, S, D)).
+
+    One batched (n_rep*T, D) x (S, D)^T matmul per merged row; GQA groups
+    read their shared KV rows with no jnp.repeat. See init_kv_cache_merged
+    for why this layout exists (7B-dims padding blowup)."""
+    km, vm = entry["km"], entry["vm"]
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    qm, b, t, h, kh = _q_merged(q, n_rep)
+    s = km.shape[1]
+    scores = jnp.einsum("mrd,msd->mrs", qm, km).astype(jnp.float32) * scale
+    scores5 = scores.reshape(b, kh, n_rep, t, s)
+    scores5 = jnp.where(_mask_merged(mask, scores5), scores5, -jnp.inf)
+    probs = jax.nn.softmax(scores5, axis=-1)
+    pm = probs.reshape(b * kh, n_rep * t, s).astype(vm.dtype)
+    attn = jnp.einsum("mrs,msd->mrd", pm, vm)
+    return _attn_out_merged(attn.astype(q.dtype), b, t, h, kh, n_rep)
+
+
+def _decode_attn_int8_merged(q, entry, mask, n_rep: int):
+    """Fused int8 decode attention over the merged cache (km/vm s8
+    (B*KH, S, D) + per-token scales (B*KH, S)). Same
+    quantize-the-tiny-side structure as _decode_attn_int8 (see its
+    docstring): both dots run s8 x s8 with int32 accumulation, and no
+    dequantized bf16 copy of the cache ever materializes."""
+    km, ks = entry["km"], entry["km_scale"]
+    vm, vs = entry["vm"], entry["vm_scale"]
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    qm, b, t, h, kh = _q_merged(q, n_rep)
+    s = km.shape[1]
+    q8, qs = _quantize_kv(qm)                          # s8, (M,R,1)
+    si = jnp.einsum("mrd,msd->mrs", q8, km,
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+    scores = si * qs.astype(jnp.float32)
+    scores = scores * ks[:, None, :].astype(jnp.float32) * scale
+    scores5 = scores.reshape(b, kh, n_rep, t, s)
+    scores5 = jnp.where(_mask_merged(mask, scores5), scores5, -jnp.inf)
+    probs = jax.nn.softmax(scores5, axis=-1)
+    pv = probs.reshape(b * kh, n_rep * t, s) * vs[:, None, :].astype(
+        jnp.float32)
+    p8, ps = _quantize_kv(pv)
+    attn_i = jnp.einsum("mrs,msd->mrd", p8, vm,
+                        preferred_element_type=jnp.int32)
+    attn = attn_i.astype(jnp.float32) * ps.astype(jnp.float32)
+    return _attn_out_merged(attn.astype(q.dtype), b, t, h, kh, n_rep)
 
 
 def _decode_attn_int8(q, entry, mask, n_rep: int):
@@ -872,7 +1024,11 @@ def decode_step(params: Params, cfg: GPTConfig, token_emb: jnp.ndarray,
         v_row = jnp.transpose(v, (0, 2, 1, 3))
         entry = _cache_write(cache[i], k_row, v_row, 0, pos)
         read = _entry_window(entry, window)
-        if "kT4" in entry:
+        if "km" in entry:
+            attn = (_decode_attn_int8_merged(q, read, mask, n_rep)
+                    if "km_scale" in entry
+                    else _decode_attn_merged(q, read, mask, n_rep))
+        elif "kT4" in entry:
             attn = _decode_attn_int4T(q, read, mask, n_rep)
         elif "kT" in entry:
             attn = _decode_attn_int8T(q, read, mask, n_rep)

@@ -558,6 +558,7 @@ class ServeEngine:
     def __init__(self, params, cfg: GPTConfig, max_batch: int = 8,
                  max_seq: Optional[int] = None, dtype=None, mesh=None,
                  kv_int8: bool = False, kv_int4: bool = False,
+                 kv_merged: bool = False,
                  weight_int8: bool = False, weight_int4: bool = False,
                  prefix_cache_size: int = 32, decode_window: int = 1,
                  draft_params=None, draft_cfg=None, spec_k: int = 4,
@@ -613,6 +614,14 @@ class ServeEngine:
         self.kv_int8 = kv_int8
         self.kv_int4 = kv_int4
         assert not (kv_int8 and kv_int4), "pick one KV quantization"
+        # merged (B*KH, S, D) cache layout — required at GPT-7B dims where
+        # (B,KH,S,D) pads 8x and OOMs at compile (gpt.init_kv_cache_merged).
+        # Offline fast path only: the continuous-batching slot cache keeps
+        # the unmerged layouts (its per-slot scatters index the batch dim).
+        self.kv_merged = kv_merged
+        assert not (kv_merged and kv_int4), "kv_merged composes with int8 only"
+        assert not (kv_merged and draft_params is not None), \
+            "kv_merged is an offline-generate layout (no spec serving yet)"
 
         # the slot cache is allocated LAZILY on first continuous-batching use:
         # the offline fast path (_generate_compiled) builds its own cache
@@ -694,6 +703,9 @@ class ServeEngine:
         """Slot KV cache, allocated on first continuous-batching use (see
         __init__ — the offline fast path never touches it)."""
         if self._cache is None:
+            assert not self.kv_merged, \
+                "kv_merged supports the offline fast path only (generate); " \
+                "use kv_int8 for continuous-batching slots"
             self._cache = (
                 gpt.init_kv_cache_int4(self.cfg, self.rows, self.max_seq)
                 if self.kv_int4 else
@@ -905,18 +917,24 @@ class ServeEngine:
         self.rng, r = jax.random.split(self.rng)
         if self.draft_params is not None:
             from ..inference.speculative import spec_generate
-            seqs = np.asarray(spec_generate(
+            seqs, spec_stats = spec_generate(
                 self.model_params, self.cfg, self.draft_params,
                 self.draft_cfg, cond, r, sp.max_tokens, spec_k=self.spec_k,
                 cfg_scale=sp.cfg_scale, temperature=sp.temperature,
                 top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8,
-                kv_int4=self.kv_int4))
+                kv_int4=self.kv_int4, return_stats=True)
+            seqs = np.asarray(seqs)
+            # fold acceptance counts into the engine stats so offline spec
+            # rows record spec_alpha too (it was online-only before — the
+            # committed GPT-L_b32_spec4 row had spec_alpha null)
+            self.stats["spec_drafted"] += int(spec_stats["drafted"])
+            self.stats["spec_accepted"] += int(spec_stats["accepted"])
         else:
             seqs = np.asarray(compiled_generate(
                 self.model_params, self.cfg, cond, r, sp.max_tokens,
                 cfg_scale=sp.cfg_scale, temperature=sp.temperature,
                 top_k=sp.top_k, top_p=sp.top_p, kv_int8=self.kv_int8,
-                kv_int4=self.kv_int4))
+                kv_int4=self.kv_int4, kv_merged=self.kv_merged))
         out = []
         now = time.monotonic()
         for c, seq in zip(conds, seqs):
