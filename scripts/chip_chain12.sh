@@ -1,0 +1,266 @@
+#!/bin/bash
+# Round-5 chain: ARTIFACT-EXISTENCE gating (VERDICT r4 next-step #3).
+#
+# Rows no longer gate on git-tracked .done markers — the round-4 VM wipe
+# proved those lie (markers survived, artifacts didn't, 14 rows cascaded,
+# and 7 committed kvgate markers claimed runs that never happened). Every
+# row here declares needs= (input artifacts; row skips with a loud message
+# if missing) and produces= (output artifacts / json keys; row is a no-op
+# iff THOSE exist). Re-running a satisfied chain is a no-op because the
+# artifacts say so.
+#
+# Correction vs chip_chain11.sh's header claim (ADVICE r4): "bf16 KV at
+# batch 8 fits" was refuted on-chip — the OOM is 64 PADDED HLO temps
+# (bf16[16,32,577,128] in layout {0,3,1,2}: batch in the 128-lane dim, 8x),
+# not cache-vs-weights arithmetic. The fix is the merged (B*KH, S, D)
+# cache layout (models/gpt.init_kv_cache_merged), first rows below.
+#
+#   nohup bash scripts/chip_chain12.sh > results_chain/chain12.log 2>&1 &
+#   echo $! > results_chain/chain12.pid
+#
+# Stop cleanly: touch results_chain/STOP (never SIGKILL a TPU client).
+
+set -u
+cd "$(dirname "$0")/.."
+OUT=$PWD/results_chain
+Q=$PWD/results_quality
+T2I=$PWD/results_t2i
+T2V=$PWD/results_t2v/quality
+mkdir -p "$OUT"
+DEADLINE=$(( $(date +%s) + 21600 ))   # stop STARTING rows after 6 h
+
+say() { echo "[$(date -u +%H:%M:%S)] $*"; }
+
+# ---- wait for chain11 to exit (pid-based; no TPU clients spawned) -------
+if [ -f "$OUT/chain11.pid" ]; then
+    C11=$(cat "$OUT/chain11.pid")
+    while kill -0 "$C11" 2>/dev/null; do
+        say "chain11 ($C11) still running; sleeping 60s"
+        sleep 60
+    done
+    say "chain11 exited"
+fi
+# chain11 was stopped via the STOP file; clear it so THIS chain runs
+rm -f "$OUT/STOP"
+
+probe_tpu() {
+    timeout 240 python -c \
+      "import jax; assert jax.default_backend() == 'tpu'" 2>/dev/null
+}
+
+wait_for_tpu() {
+    while true; do
+        [ -f "$OUT/STOP" ] && { say "STOP file — exiting"; exit 0; }
+        [ "$(date +%s)" -ge "$DEADLINE" ] && { say "deadline — exiting"; exit 0; }
+        if probe_tpu; then return 0; fi
+        say "tunnel down; sleeping 300s"
+        sleep 300
+    done
+}
+
+# Artifact spec: a path, or jsonkey:FILE:KEY (key present in the json
+# table), or jsonkey:FILE:KEY:FIELD (present AND .FIELD non-null).
+art() {
+    case "$1" in
+        jsonkey:*)
+            python - "$1" <<'EOF'
+import json, sys
+parts = sys.argv[1].split(":")
+file, key = parts[1], parts[2]
+field = parts[3] if len(parts) > 3 else None
+try:
+    t = json.load(open(file))
+except Exception:
+    sys.exit(1)
+if key not in t:
+    sys.exit(1)
+if field is not None and (not isinstance(t[key], dict)
+                          or t[key].get(field) is None):
+    sys.exit(1)
+sys.exit(0)
+EOF
+            ;;
+        *) [ -e "$1" ] ;;
+    esac
+}
+
+# row TAG TIMEOUT needs=a,b produces=c,d -- cmd args...
+row() {
+    local tag=$1 tmo=$2; shift 2
+    local needs="" prods="" a
+    while [ "$1" != "--" ]; do
+        case "$1" in
+            needs=*)    needs="${1#needs=}" ;;
+            produces=*) prods="${1#produces=}" ;;
+        esac
+        shift
+    done
+    shift
+    if [ -n "$prods" ]; then
+        local have=1
+        for a in ${prods//,/ }; do art "$a" || { have=0; break; }; done
+        [ "$have" = 1 ] && { say "skip $tag (artifacts exist)"; return 0; }
+    fi
+    for a in ${needs//,/ }; do
+        art "$a" || { say "SKIP $tag: missing needed artifact $a"; return 1; }
+    done
+    [ -f "$OUT/STOP" ] && { say "STOP file — exiting"; exit 0; }
+    [ "$(date +%s)" -ge "$DEADLINE" ] && { say "deadline — exiting"; exit 0; }
+    wait_for_tpu
+    say "=== $tag (timeout ${tmo}s) ==="
+    if timeout "$tmo" "$@" >> "$OUT/$tag.log" 2>&1; then
+        say "$tag OK"
+    else
+        say "$tag FAILED rc=$? (log: results_chain/$tag.log)"
+    fi
+    for a in ${prods//,/ }; do
+        art "$a" || say "WARN $tag: expected artifact $a not produced"
+    done
+}
+
+BSO=$PWD/bench_serving_offline.json
+QT=$Q/quality_table.json
+
+# --- P0: GPT-7B over the merged cache layout (VERDICT #1) ----------------
+# The reference zoo's top rung (ref gpt.py:465-466), never served. W4
+# weights ~3.4G; merged bf16 cache 4.8G at b8; merged int8 halves that.
+row gpt7b_w4_kvm_b8 5400 needs= produces=jsonkey:$BSO:GPT-7B_w4_kvm -- \
+    python scripts/bench_serving.py offline GPT-7B --batch 8 \
+        --weight-int4 --kv-merged
+row gpt7b_w4_kv8_kvm_b8 5400 needs= \
+    produces=jsonkey:$BSO:GPT-7B_w4_kv8_kvm -- \
+    python scripts/bench_serving.py offline GPT-7B --batch 8 \
+        --weight-int4 --kv-int8 --kv-merged
+row gpt7b_w4_kv8_kvm_b16 5400 needs=jsonkey:$BSO:GPT-7B_w4_kv8_kvm \
+    produces=jsonkey:$BSO:GPT-7B_w4_kv8_kvm_b16 -- \
+    python scripts/bench_serving.py offline GPT-7B --batch 16 \
+        --weight-int4 --kv-int8 --kv-merged
+row gpt7b_w4_kv8_kvm_b32 5400 needs=jsonkey:$BSO:GPT-7B_w4_kv8_kvm_b16 \
+    produces=jsonkey:$BSO:GPT-7B_w4_kv8_kvm_b32 -- \
+    python scripts/bench_serving.py offline GPT-7B --batch 32 \
+        --weight-int4 --kv-int8 --kv-merged
+
+# --- P1: finish the gptL100 FID point (series half, VERDICT #2a) ---------
+row gptL100_sample 5400 \
+    needs=$Q/gptL100/checkpoints/100,$Q/checkpoints/1500 \
+    produces=$Q/samples_gptL100_step100.npz -- \
+    python scripts/quality_loop.py sample --gpt-model GPT-L \
+        --gpt-dir gptL100 --step 100
+row gptL100_fid 2700 \
+    needs=$Q/samples_gptL100_step100.npz,$Q/ref_batch.npz \
+    produces=jsonkey:$QT:gptL100_step100 -- \
+    python scripts/quality_loop.py fid --gpt-dir gptL100 --step 100
+row fid_merge_a 600 needs= produces= -- python scripts/merge_fid_series.py
+
+# --- P2: spec-vs-plain apples-to-apples (VERDICT #4) ---------------------
+# Plain GPT-L rows at the batches spec was/will be measured at, then spec
+# rows (now recording spec_alpha — engine folds offline acceptance counts).
+row gptL_plain_b16 3600 needs= produces=jsonkey:$BSO:GPT-L_b16 -- \
+    python scripts/bench_serving.py offline GPT-L --batch 16
+row gptL_plain_b32 3600 needs= produces=jsonkey:$BSO:GPT-L_b32 -- \
+    python scripts/bench_serving.py offline GPT-L --batch 32
+row gptL_spec_b8 5400 needs= \
+    produces=jsonkey:$BSO:GPT-L_spec4_GPT-B:spec_alpha -- \
+    python scripts/bench_serving.py offline GPT-L --batch 8 \
+        --draft-model GPT-B --spec-k 4
+row gptL_spec_b32 5400 needs= \
+    produces=jsonkey:$BSO:GPT-L_b32_spec4_GPT-B:spec_alpha -- \
+    python scripts/bench_serving.py offline GPT-L --batch 32 \
+        --draft-model GPT-B --spec-k 4
+
+# --- P3: t2i caption-control loop (VERDICT #2b; codes rebuilt by ch11) ---
+row t2i_data 1800 needs= produces=$T2I/caption_feats.npy -- \
+    python scripts/t2i_quality.py data
+row t2i_train 9000 \
+    needs=$T2I/caption_feats.npy,$Q/codes/imagenet64_codes \
+    produces=$T2I/checkpoints/3000 -- \
+    python scripts/t2i_quality.py train --steps 3000
+row t2i_sample_trained 7200 \
+    needs=$T2I/checkpoints/3000,$Q/checkpoints/1500 \
+    produces=$T2I/samples_trained.npy -- \
+    python scripts/t2i_quality.py sample --tag trained
+row t2i_sample_random 7200 needs=$Q/checkpoints/1500 \
+    produces=$T2I/samples_random_init.npy -- \
+    python scripts/t2i_quality.py sample --tag random_init
+row t2i_sample_uncond 7200 \
+    needs=$T2I/checkpoints/3000,$Q/checkpoints/1500 \
+    produces=$T2I/samples_uncond.npy -- \
+    python scripts/t2i_quality.py sample --tag uncond
+row t2i_score 3600 \
+    needs=$T2I/samples_trained.npy,$Q/ref_batch.npz \
+    produces=jsonkey:$T2I/quality_table.json:trained -- \
+    python scripts/t2i_quality.py score
+
+# --- P4: gptL 3000-step rebuild (FID tail + kvgate dependency) -----------
+row gptL_train 10800 needs=$Q/codes/imagenet64_codes \
+    produces=$Q/gptL/checkpoints/3000 -- \
+    python scripts/quality_loop.py gpt --gpt-model GPT-L --gpt-dir gptL \
+        --steps 3000 --ckpt-every 1000
+row gptL_sample_3000 5400 \
+    needs=$Q/gptL/checkpoints/3000,$Q/checkpoints/1500 \
+    produces=$Q/samples_gptL_step3000.npz -- \
+    python scripts/quality_loop.py sample --gpt-model GPT-L \
+        --gpt-dir gptL --step 3000
+row gptL_fid_3000 2700 \
+    needs=$Q/samples_gptL_step3000.npz,$Q/ref_batch.npz \
+    produces=jsonkey:$QT:gptL_step3000 -- \
+    python scripts/quality_loop.py fid --gpt-dir gptL --step 3000
+row fid_merge_b 600 needs= produces= -- python scripts/merge_fid_series.py
+
+# --- P5: KV quality gates on the trained GPT-L (VERDICT #2c) -------------
+# chain11 ran these against a nonexistent step-6000 checkpoint (ADVICE r4);
+# explicit --step 3000 against the P4 rebuild.
+KVG=$Q/kv_gate.json
+row kvgate_greedy 5400 needs=$Q/gptL/checkpoints/3000 \
+    produces=jsonkey:$KVG:greedy_match -- \
+    python scripts/kv_quality_gate.py greedy --step 3000
+for kv in bf16 int8 int4; do
+    row kvgate_sample_$kv 7200 \
+        needs=$Q/gptL/checkpoints/3000,$Q/checkpoints/1500 \
+        produces=$Q/kv_gate_samples_$kv.npz -- \
+        python scripts/kv_quality_gate.py sample --kv $kv --step 3000
+    row kvgate_fid_$kv 2700 \
+        needs=$Q/kv_gate_samples_$kv.npz,$Q/ref_batch.npz \
+        produces=jsonkey:$KVG:fid_$kv -- \
+        python scripts/kv_quality_gate.py fid --kv $kv --step 3000
+done
+
+# --- P6: gptL 1000-step FID point (completes the 3-point series) ---------
+row gptL_sample_1000 5400 \
+    needs=$Q/gptL/checkpoints/1000,$Q/checkpoints/1500 \
+    produces=$Q/samples_gptL_step1000.npz -- \
+    python scripts/quality_loop.py sample --gpt-model GPT-L \
+        --gpt-dir gptL --step 1000
+row gptL_fid_1000 2700 \
+    needs=$Q/samples_gptL_step1000.npz,$Q/ref_batch.npz \
+    produces=jsonkey:$QT:gptL_step1000 -- \
+    python scripts/quality_loop.py fid --gpt-dir gptL --step 1000
+row fid_merge_c 600 needs= produces= -- python scripts/merge_fid_series.py
+
+# --- P7: t2v second scale point — GPT-L trunk (VERDICT #6) ---------------
+row t2v_data 1800 needs= produces=$T2V/train_clips.npy -- \
+    python scripts/t2v_quality.py data
+row t2v_latents 3600 \
+    needs=$T2V/train_clips.npy,results_vae_ms2/checkpoints \
+    produces=$T2V/train_latents.npy -- \
+    python scripts/t2v_quality.py latents
+row t2v_train_l 10800 needs=$T2V/train_latents.npy \
+    produces=$T2V/gpt_diff_l/params.npy -- \
+    python scripts/t2v_quality.py train --gpt-model GPT-L --head diff \
+        --steps 3000
+row t2v_sample_l 7200 needs=$T2V/gpt_diff_l/params.npy \
+    produces=$T2V/samples_diff_l.npy -- \
+    python scripts/t2v_quality.py sample --gpt-model GPT-L --head diff
+row t2v_sample_l_uncond 7200 needs=$T2V/gpt_diff_l/params.npy \
+    produces=$T2V/samples_diff_l_uncond.npy -- \
+    python scripts/t2v_quality.py sample --gpt-model GPT-L --head diff \
+        --uncond
+row t2v_score_l 3600 needs=$T2V/samples_diff_l.npy \
+    produces=jsonkey:$T2V/quality_table.json:diff_l -- \
+    python scripts/t2v_quality.py score --tags diff_l diff_l_uncond
+
+# --- final: fresh headline bench -----------------------------------------
+row bench12 3600 needs= produces= -- \
+    bash -c "python bench.py > $OUT/bench_chain12.json"
+
+say "chain12 complete"
