@@ -25,7 +25,8 @@ import numpy as np
 
 def build(model, max_batch, weight_int8=False, kv_int8=False,
           decode_window=1, n_tokens=576, kv_int4=False, draft_model=None,
-          spec_k=4, weight_int4=False, cache_group=8, kv_merged=False):
+          spec_k=4, weight_int4=False, cache_group=8, kv_merged=False,
+          max_window=None):
     from video_llamagen_tpu.core.config import gpt_config
     from video_llamagen_tpu.models import gpt
     from video_llamagen_tpu.serve.engine import ServeEngine
@@ -59,7 +60,7 @@ def build(model, max_batch, weight_int8=False, kv_int8=False,
                       weight_int8=weight_int8, weight_int4=weight_int4,
                       kv_int8=kv_int8,
                       kv_int4=kv_int4, kv_merged=kv_merged,
-                      decode_window=decode_window,
+                      decode_window=decode_window, max_window=max_window,
                       draft_params=draft_params, draft_cfg=draft_cfg,
                       spec_k=spec_k, cache_group=cache_group)
     del params, draft_params
@@ -130,7 +131,8 @@ def bench_online(args):
                    n_tokens=args.n_tokens, kv_int4=args.kv_int4,
                    draft_model=args.draft_model, spec_k=args.spec_k,
                    weight_int4=args.weight_int4,
-                   cache_group=args.cache_group)
+                   cache_group=args.cache_group,
+                   max_window=args.max_window)
     sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
 
     # Compile every dispatchable graph BEFORE the clock starts — decode
@@ -199,6 +201,7 @@ def bench_online(args):
             "model": args.models[0], "mode": "online", "rate_rps": rate,
             "num_requests": args.num_requests, "max_batch": args.batch,
             "n_tokens": args.n_tokens, "decode_window": args.decode_window,
+            "max_window": args.max_window,
             "elapsed_s": round(dt, 2),
             "tok_s": round(sum(len(r.tokens) for r in done) / dt, 1),
             "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
@@ -214,7 +217,8 @@ def bench_online(args):
         rec["kv_int8"] = args.kv_int8
         rec["kv_int4"] = args.kv_int4
         key = (f"{args.models[0]}_b{args.batch}_w{args.decode_window}"
-               f"_r{rate}"
+               + (f"m{args.max_window}" if args.max_window else "")
+               + f"_r{rate}"
                + ("_w8" if args.weight_int8 else "")
                + ("_w4p" if args.weight_int4 == "packed"
                   else "_w4" if args.weight_int4 else "")
@@ -270,6 +274,11 @@ def main():
                         "(warmup compiles are paid once)")
     p.add_argument("--num-requests", type=int, default=32)
     p.add_argument("--decode-window", type=int, default=16)
+    p.add_argument("--max-window", type=int, default=None,
+                   help="adaptive window ceiling: at full occupancy the "
+                        "fused window grows decode_window..max_window "
+                        "through a prewarmed pow2 ladder (engine "
+                        "_pick_window); default = static windows")
     p.add_argument("--cache-group", type=int, default=8,
                    help="layers per cache-maintenance dispatch (engine "
                         "cache_group)")

@@ -561,6 +561,7 @@ class ServeEngine:
                  kv_merged: bool = False,
                  weight_int8: bool = False, weight_int4: bool = False,
                  prefix_cache_size: int = 32, decode_window: int = 1,
+                 max_window: Optional[int] = None,
                  draft_params=None, draft_cfg=None, spec_k: int = 4,
                  cache_group: int = 8):
         """`mesh`: optional jax Mesh — params are laid out by the tp/fsdp
@@ -570,9 +571,14 @@ class ServeEngine:
         2x the slots/context at fixed memory (vLLM kv_cache_dtype analog).
         `kv_int4`: s4 KV with per-group K scales — QUARTER the bf16 KV
         stream (models/gpt.init_kv_cache_int4 has the accuracy story).
-        `decode_window`: max decode steps fused into one dispatch between
+        `decode_window`: base decode steps fused into one dispatch between
         host syncs (power-of-2-bucketed; 1 = sync every token). Large windows
         amortize host round-trips — essential over a network-attached chip.
+        `max_window`: adaptive ceiling — at full occupancy the window grows
+        through a prewarmed pow2 ladder decode_window..max_window (arrivals
+        cannot admit before a slot frees anyway), clamped to the nearest
+        finish boundary while requests queue (_pick_window). Default =
+        decode_window (static windows, the pre-adaptive behavior).
         `draft_params`/`draft_cfg`: enable SPECULATIVE serving (the vLLM
         speculative_model analog): every engine step drafts spec_k tokens
         with the small model and verifies them in one target pass — the
@@ -650,6 +656,19 @@ class ServeEngine:
                       "steps": 0, "t_start": time.monotonic()}
 
         self.decode_window = max(1, decode_window)
+        self.max_window = max(self.decode_window, max_window or 0)
+        # prewarmed window ladder: {1, base, 2*base, ..., <= max_window},
+        # bases floored to pow2 — _pick_window only ever returns ladder
+        # values, so no window shape compiles cold mid-run
+        base = 1
+        while base * 2 <= self.decode_window:
+            base *= 2
+        self._window_ladder = [1]
+        w = base
+        while w <= self.max_window:
+            if w > 1:
+                self._window_ladder.append(w)
+            w *= 2
         self.cache_group = max(1, cache_group)
 
         # speculative serving (draft model propose / target verify)
@@ -1409,8 +1428,20 @@ class ServeEngine:
         are possible (queued work + a free slot). Deliberately NOT clamped to
         the requests' remaining budgets: a finishing request overshoots by
         < window steps (surplus trimmed in step()), which keeps the compiled-
-        window set tiny ({1, window}) instead of ramping down through every
+        window set a short ladder instead of ramping down through every
         power of two per request.
+
+        ADAPTIVE GROWTH (max_window > decode_window): at FULL occupancy an
+        arrival cannot be admitted before a slot frees regardless of window
+        length, so the per-window host sync is pure overhead — the window
+        grows through the prewarmed ladder up to max_window. Two clamps keep
+        latency honest: with requests QUEUED the window never runs past the
+        nearest slot-finish boundary (the queued request admits exactly when
+        the slot frees), and at partial occupancy the window stays at the
+        base decode_window so a fresh arrival waits at most one short window
+        for its prefill. Saturated online throughput was 10x below the
+        offline window rate with a static 16-window (1,104 vs 11,457 tok/s,
+        online_b64_r5.log) — mostly per-window tunnel syncs this removes.
 
         No small-window cap under queue pressure: step() admits BEFORE
         decoding, so a non-empty queue implies all slots are full and the
@@ -1422,11 +1453,19 @@ class ServeEngine:
             return 1
         if self.queue and any(s is None for s in self.slots):
             return 1
-        k = self.decode_window
-        p = 1
-        while p * 2 <= k:
-            p *= 2
-        return p
+        full = all(s is not None for s in self.slots)
+        cap = self.max_window if full else self.decode_window
+        if full and cap > self.decode_window:
+            rem = [self.slots[i].params.max_tokens
+                   - len(self.slots[i].tokens) for i in active_slots]
+            # queued: stop at the nearest finish so the waiter admits there;
+            # drain: stop at the farthest finish so the tail isn't all-dead
+            cap = min(cap, max(min(rem) if self.queue else max(rem), 1))
+        k = 1
+        for w in self._window_ladder:
+            if w <= cap:
+                k = w
+        return k
 
     def export_artifacts(self, path: str, platforms=("tpu",),
                          windows=None) -> str:
@@ -1440,7 +1479,8 @@ class ServeEngine:
             self.model_params, self.cfg, max_batch=self.max_batch,
             max_seq=self.max_seq, dtype=self.dtype, kv_int8=self.kv_int8,
             kv_int4=self.kv_int4, decode_window=self.decode_window,
-            windows=windows, draft_params=self.draft_params,
+            windows=windows or self._window_ladder,
+            draft_params=self.draft_params,
             draft_cfg=self.draft_cfg, spec_k=self.spec_k,
             ddtype=getattr(self, "ddtype", None), platforms=platforms,
             cache_group=self.cache_group)
@@ -1494,7 +1534,7 @@ class ServeEngine:
             # cold compile, exactly the round-3 TTFT failure
             n += self._prewarm_admission()
             return n
-        windows = windows or sorted({1, self.decode_window})
+        windows = windows or self._window_ladder
         col_valid = jnp.asarray(self.col_valid)
         extra_sets = [None]
         if extras:
