@@ -259,6 +259,39 @@ row t2v_score_l 3600 needs=$T2V/samples_diff_l.npy \
     produces=jsonkey:$T2V/quality_table.json:diff_l -- \
     python scripts/t2v_quality.py score --tags diff_l diff_l_uncond
 
+# --- P8: adaptive-window online serving (VERDICT #5) ---------------------
+# Baseline: static w16 at 16 req/s = 1,104 tok/s, TTFT p50 1.59 s
+# (GPT-L_b64_w16_r16.0_kv8). Adaptive: same engine + max_window 128 —
+# windows grow 16->128 only at full occupancy, so TTFT should hold while
+# the per-window tunnel syncs drop ~8x at saturation.
+BON=$PWD/bench_serving_online.json
+row online_adaptive_b64 10800 needs= \
+    produces=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 -- \
+    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
+        --decode-window 16 --max-window 128 --rates 8 16 \
+        --num-requests 96
+row online_adaptive_b64_r32 7200 \
+    needs=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 \
+    produces=jsonkey:$BON:GPT-L_b64_w16m128_r32.0_kv8 -- \
+    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
+        --decode-window 16 --max-window 128 --rates 32 \
+        --num-requests 192
+
+# --- P9: trained-pair speculative acceptance (VERDICT #4) ----------------
+# Real alpha needs target+draft trained on the SAME codes: GPT-L@3000 (P4)
+# + a rebuilt GPT-B draft (the round-2 gpt/ checkpoints were wiped).
+row gptB_train 7200 needs=$Q/codes/imagenet64_codes \
+    produces=$Q/gpt/checkpoints/3000 -- \
+    python scripts/quality_loop.py gpt --gpt-model GPT-B --gpt-dir gpt \
+        --steps 3000 --ckpt-every 1000
+row spec_trained 7200 \
+    needs=$Q/gptL/checkpoints/3000,$Q/gpt/checkpoints/3000 \
+    produces=jsonkey:results_spec/spec_report.json:trained_b8 -- \
+    python scripts/bench_spec.py trained \
+        --target-orbax results_quality/gptL/checkpoints --target-step 3000 \
+        --draft-orbax results_quality/gpt/checkpoints --draft-step 3000 \
+        --batch 1 8 --k 4
+
 # --- final: fresh headline bench -----------------------------------------
 row bench12 3600 needs= produces= -- \
     bash -c "python bench.py > $OUT/bench_chain12.json"

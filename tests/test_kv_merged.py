@@ -115,6 +115,38 @@ def test_generate_kv_merged_tokens():
     assert np.mean(np.asarray(plain) == np.asarray(m8)) >= 0.75
 
 
+def test_engine_w4packed_kv8_merged_offline():
+    """The exact GPT-7B serving config at tiny dims: nibble-PACKED int4
+    weights (uint8 storage — no s4 array at any jit boundary, the axon
+    dispatch hazard) + merged int8 KV, through ServeEngine's offline fast
+    path. Greedy stream must track the bf16-weights/plain-cache stream."""
+    from video_llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+    import jax.numpy as jnp
+    from video_llamagen_tpu.inference.generate import generate
+
+    params_ref = randomize_head(
+        jax.jit(lambda k: gpt.fabricate_gpt_params(k, CFG, jnp.float32))(
+            jax.random.key(3)), key=4)
+    plain = generate(params_ref, CFG, jnp.asarray([1, 2], jnp.int32),
+                     jax.random.key(6), 8, cfg_scale=1.5,
+                     sample_logits=False)
+
+    packed = dict(jax.jit(lambda k: gpt.fabricate_gpt_params(
+        k, CFG, jnp.float32, quant="int4_packed", group=32))(
+            jax.random.key(3)))
+    # share the randomized PLAIN head (fabricate quantizes the head too,
+    # and randomize_head can't write into a PackedLinear4 leaf)
+    packed["output"] = params_ref["output"]
+    eng = ServeEngine(packed, CFG, max_batch=2, dtype=jnp.float32,
+                      weight_int4=True, kv_int8=True, kv_merged=True)
+    sp = SamplingParams(max_tokens=8, cfg_scale=1.5, top_k=1)
+    out = eng.generate([np.int32(1), np.int32(2)], sp)
+    got = np.asarray([o.tokens for o in out])
+    # W4 grouped quantization + int8 KV: most greedy tokens should agree
+    assert got.shape == (2, 8)
+    assert np.mean(np.asarray(plain) == got) >= 0.5
+
+
 def test_engine_kv_merged_offline():
     """ServeEngine(kv_merged=True) offline fast path runs; online slot cache
     refuses (merged is a generate-graph layout)."""

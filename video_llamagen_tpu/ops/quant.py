@@ -54,6 +54,10 @@ class QuantizedLinear4(NamedTuple):
     The field is named `gscale` (not `scale`) on purpose: sharding rules
     (parallel/mesh.py) and dtype-cast passes discriminate int8 vs int4
     leaves purely by the NamedTuple attribute path."""
+    # NOTE axon backend: s4 param tensors can crash at DISPATCH if the
+    # compiled graph wants a different layout (the device_put relayout
+    # recurses — results_chain/gpt7b_w4_kvm_b8.log). For serving over the
+    # tunnel prefer PackedLinear4 (uint8 storage, no s4 at any boundary).
     q: jnp.ndarray        # int4 (in, out), values in [-7, 7]
     gscale: jnp.ndarray   # f32 (in // group, out)
 
