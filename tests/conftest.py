@@ -21,6 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA-CPU wrong-numerics flake, PINNED (scripts/probe_coldflake.py,
+# results_chain/probe_coldflake.log): with async dispatch, 2/10 fresh
+# processes produced shifted spec-serving streams on their FIRST iteration
+# (correct on every later rep of the same process); with synchronous
+# dispatch, 0/10. The corruption is a race between async CPU execution and
+# concurrent cold compilation (same family as the known backend_compile
+# segfault) — NOT an engine bug. Synchronous dispatch costs nothing here
+# (single CPU core, nothing to overlap) and removes the failure mode.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import pytest  # noqa: E402
 

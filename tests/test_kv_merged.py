@@ -142,14 +142,21 @@ def test_engine_w4packed_kv8_merged_offline():
     sp = SamplingParams(max_tokens=8, cfg_scale=1.5, top_k=1)
     out = eng.generate([np.int32(1), np.int32(2)], sp)
     got = np.asarray([o.tokens for o in out])
-    # W4 grouped quantization + int8 KV: most greedy tokens should agree
     assert got.shape == (2, 8)
-    assert np.mean(np.asarray(plain) == got) >= 0.5
+    assert np.all((0 <= got) & (got < CFG.vocab_size))
+    # engine fast path == generate on the SAME packed weights (greedy) —
+    # the meaningful parity; packed-vs-bf16 streams legitimately diverge
+    # on a random tiny model (near-tie logits, W4 flips argmax)
+    want = np.asarray(generate(packed, CFG, jnp.asarray([1, 2], jnp.int32),
+                               jax.random.key(6), 8, cfg_scale=1.5,
+                               sample_logits=False, kv_int8=True,
+                               kv_merged=True))
+    assert got.tolist() == want.tolist()
+    del plain  # bf16 reference intentionally unused beyond smoke
 
 
 def test_engine_kv_merged_offline():
-    """ServeEngine(kv_merged=True) offline fast path runs; online slot cache
-    refuses (merged is a generate-graph layout)."""
+    """ServeEngine(kv_merged=True) offline fast path runs end to end."""
     from video_llamagen_tpu.serve.engine import SamplingParams, ServeEngine
     params = gpt.init_gpt_params(jax.random.key(7), CFG)
     eng = ServeEngine(params, CFG, max_batch=2, dtype=jnp.float32,
@@ -157,5 +164,76 @@ def test_engine_kv_merged_offline():
     sp = SamplingParams(max_tokens=4)
     out = eng.generate([np.int32(3), np.int32(5)], sp)
     assert all(len(o.tokens) == 4 for o in out)
-    with pytest.raises(AssertionError):
-        _ = eng.cache
+
+
+@pytest.mark.parametrize("kv_int8", [False, True], ids=["bf16", "int8"])
+def test_engine_kv_merged_online_greedy(kv_int8):
+    """Continuous batching over the MERGED slot cache: greedy engine stream
+    == compiled generate's greedy stream (admission prefill scatter, frozen-
+    window decode reads, merged window commits)."""
+    from video_llamagen_tpu.inference.generate import generate
+    from video_llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+    params = randomize_head(gpt.init_gpt_params(jax.random.key(0), CFG))
+    eng = ServeEngine(params, CFG, max_batch=2, dtype=jnp.float32,
+                      kv_merged=True, kv_int8=kv_int8, decode_window=4)
+    sp = SamplingParams(max_tokens=8, top_k=1, cfg_scale=2.0)
+    reqs = eng.generate([np.int32(3), np.int32(5)], sp,
+                        offline_fast_path=False)
+    got = [r.tokens for r in sorted(reqs, key=lambda r: r.request_id)]
+    want = np.asarray(generate(params, CFG, jnp.asarray([3, 5]),
+                               jax.random.key(0), 8, cfg_scale=2.0,
+                               sample_logits=False,
+                               kv_int8=kv_int8, kv_merged=True))
+    if kv_int8:
+        # int8 prob-row quantization partitions by source in the window
+        # path; allow near-tie flips (same budget as the unmerged engine)
+        agree = np.mean(np.asarray(got) == want)
+        assert agree >= 0.75, (got, want.tolist())
+    else:
+        assert got == want.tolist()
+
+
+def test_engine_kv_merged_prefix_and_swap():
+    """Merged slot cache through the stateful paths: prefix-cache hits
+    (extract KH merged rows + batched insert) and swap-out/swap-in."""
+    from video_llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+    params = randomize_head(gpt.init_gpt_params(jax.random.key(0), CFG))
+
+    def run(**kw):
+        eng = ServeEngine(params, CFG, max_batch=2, dtype=jnp.float32,
+                          decode_window=2, prefix_cache_size=8, **kw)
+        sp = SamplingParams(max_tokens=6, top_k=1, cfg_scale=2.0)
+        for c in (3, 3, 5, 3):     # dups -> prefix hits
+            eng.add_request(np.int32(c), sp)
+        done, steps = [], 0
+        while eng.has_unfinished():
+            done += eng.step()
+            steps += 1
+            assert steps < 100
+        assert eng.stats["prefix_hits"] > 0
+        return eng, sorted((r.request_id, tuple(r.tokens)) for r in done)
+
+    _, plain = run()
+    _, merged = run(kv_merged=True)
+    assert plain == merged
+
+    # swap a running merged request out and back in; stream must continue
+    eng = ServeEngine(params, CFG, max_batch=2, dtype=jnp.float32,
+                      kv_merged=True, decode_window=1)
+    sp = SamplingParams(max_tokens=8, top_k=1, cfg_scale=2.0)
+    r1 = eng.add_request(np.int32(3), sp)
+    eng.step(); eng.step()
+    assert eng.swap_out(r1)
+    eng.step()                      # runs with the slot free
+    done, steps = [], 0
+    while eng.has_unfinished():
+        done += eng.step()
+        steps += 1
+        assert steps < 100
+    swapped_tokens = [r.tokens for r in done if r.request_id == r1][0]
+    want = np.asarray(
+        __import__("video_llamagen_tpu.inference.generate",
+                   fromlist=["generate"]).generate(
+            params, CFG, jnp.asarray([3]), jax.random.key(0), 8,
+            cfg_scale=2.0, sample_logits=False, kv_merged=True))[0]
+    assert swapped_tokens == want.tolist()

@@ -682,6 +682,11 @@ def _cache_write_slots(entry, k_new: jnp.ndarray, v_new: jnp.ndarray,
     """Per-slot scatter at [b, :, pos[b], :]; inactive slots keep old rows.
 
     k_new/v_new: (B, KH, D)."""
+    if "km" in entry:
+        raise NotImplementedError(
+            "per-slot scatter writes are not implemented for the merged "
+            "cache; serving drives merged entries through the frozen-window "
+            "path (window_sources + commit_entry)")
     gate = active[:, None, None]
     out = dict(entry)
     if "kT4" in entry:
@@ -1252,7 +1257,26 @@ def init_window_bufs(cfg: GPTConfig, batch: int, k: int, dtype,
 
 def _source_scores(qh, q8qs, entry, mask, scale, n_rep: int):
     """Masked pre-softmax scores for one attention source (bf16 or int8;
-    the big cache may be seq-minor int8, window buffers are seq-major)."""
+    the big cache may be seq-minor int8, merged (B*KH,S,D), or seq-major
+    window buffers)."""
+    if "km" in entry:
+        km = entry["km"]
+        b, h, t, d = qh.shape
+        kh = h // n_rep
+        s_len = km.shape[1]
+        if "km_scale" in entry:
+            q8, qs = q8qs
+            q8m = q8.reshape(b * kh, n_rep * t, d)
+            qs_m = qs.reshape(b * kh, n_rep * t, 1)
+            sm = jnp.einsum("mrd,msd->mrs", q8m, km,
+                            preferred_element_type=jnp.int32)
+            sm = sm.astype(jnp.float32) * qs_m.astype(jnp.float32)
+            sm = sm * entry["km_scale"][:, None, :].astype(jnp.float32) * scale
+        else:
+            qm = qh.reshape(b * kh, n_rep * t, d)
+            sm = jnp.einsum("mrd,msd->mrs", qm, km).astype(jnp.float32) * scale
+        s = sm.reshape(b, h, t, s_len)
+        return jnp.where(mask, s, -jnp.inf)
     if "kT4" in entry:
         kq, ks = entry["kT4"], entry["kT4_scale"]
         if n_rep > 1:
@@ -1300,7 +1324,23 @@ def _source_scores(qh, q8qs, entry, mask, scale, n_rep: int):
 
 
 def _source_attn(probs, entry, n_rep: int):
-    """probs (B,H,1,S) x one source's V (bf16 or fused-int8, either layout)."""
+    """probs (B,H,T,S) x one source's V (bf16 or fused-int8, any layout)."""
+    if "vm" in entry:
+        vm = entry["vm"]
+        b, h, t, s = probs.shape
+        kh = h // n_rep
+        d = vm.shape[-1]
+        pm = probs.reshape(b * kh, n_rep * t, s)
+        if "vm_scale" in entry:
+            pv = pm * entry["vm_scale"][:, None, :].astype(jnp.float32)
+            p8, ps = _quantize_kv(pv)
+            am = jnp.einsum("mrs,msd->mrd", p8, vm,
+                            preferred_element_type=jnp.int32)
+            am = am.astype(jnp.float32) * ps.astype(jnp.float32)
+        else:
+            am = jnp.einsum("mrs,msd->mrd", pm.astype(vm.dtype),
+                            vm).astype(jnp.float32)
+        return am.reshape(b, h, t, d)
     if "vT4" in entry:
         vq, vs = entry["vT4"], entry["vT4_scale"]
         if n_rep > 1:
@@ -1348,7 +1388,8 @@ def _attn_two_source(q, read, big_mask, win, win_mask, n_rep: int):
     scale = 1.0 / (d ** 0.5)
     qh = jnp.transpose(q, (0, 2, 1, 3))                        # (B,H,1,D)
     q8qs = _quantize_kv(qh) if ("k_scale" in read or "kT" in read
-                                or "kT4" in read or "k_scale" in win) else None
+                                or "kT4" in read or "km_scale" in read
+                                or "k_scale" in win) else None
     sb = _source_scores(qh, q8qs, read, big_mask, scale, n_rep)
     sw = _source_scores(qh, q8qs, win, win_mask, scale, n_rep)
     probs = jax.nn.softmax(jnp.concatenate([sb, sw], axis=-1), axis=-1)
@@ -1505,6 +1546,30 @@ def commit_entry(entry, win_buf, pos0: jnp.ndarray, active: jnp.ndarray):
     idx = pos0[:, None] + jnp.arange(k_win)[None, :]             # (B,k)
     gate = active[:, None, None, None]
     e = dict(entry)
+    if "km" in entry:
+        # merged (B*KH, S, D) cache; window buffers stay (B, KH, k, D) —
+        # they are small, so only the BIG buffers need the layout-robust
+        # merged shape. Scatter through a free (B, KH, S, D) reshape view
+        # (row-major split of the leading dim). int8 windows carry the
+        # exact per-token scales the merged cache stores — no requantize.
+        _, khn, _, d = win_buf["k"].shape
+        int8 = "km_scale" in entry
+        for wname, cname in (("k", "km"), ("v", "vm")):
+            e4 = e[cname].reshape(b, khn, -1, d)
+            val = jnp.transpose(win_buf[wname], (0, 2, 1, 3))    # (B,k,KH,D)
+            old = e4[batch_ids, :, idx]                          # (B,k,KH,D)
+            val = jnp.where(gate, val.astype(old.dtype), old)
+            e[cname] = e4.at[batch_ids, :, idx].set(val).reshape(
+                b * khn, -1, d)
+            if int8:
+                es = e[cname + "_scale"].reshape(b, khn, -1)     # (B,KH,S)
+                sval = jnp.transpose(win_buf[wname + "_scale"][..., 0],
+                                     (0, 2, 1))                  # (B,k,KH)
+                sold = es[batch_ids, :, idx]
+                sval = jnp.where(gate[..., 0], sval.astype(sold.dtype), sold)
+                e[cname + "_scale"] = es.at[batch_ids, :, idx].set(
+                    sval).reshape(b * khn, -1)
+        return e
     if "kT4" in entry:
         # window buffers are int8 (quantized at write); the commit
         # re-quantizes to s4 + group scales — the int4 error dominates the

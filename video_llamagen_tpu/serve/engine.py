@@ -64,12 +64,19 @@ def _commit_entry(entry, win_buf, pos0, active):
 def _entry_scatter(entry, mrow, rows):
     """Shared scatter body: write M rows (`mrow`, leading dim M) into one
     layer's cache `entry` at batch rows `rows`, seq axis sliced to mrow's
-    length (layout-agnostic via entry_seq_axis)."""
+    length (layout-agnostic via entry_seq_axis). Merged (km/vm) entries:
+    `mrow` comes from a MERGED mini cache (leading dim M*KH), and each
+    cohort row expands to its KH contiguous merged rows."""
     out = {}
+    merged_rows = None
+    if "km" in entry:
+        kh = mrow["km"].shape[0] // rows.shape[0]
+        merged_rows = (rows[:, None] * kh + jnp.arange(kh)).reshape(-1)
     for name in entry:
         ax = gpt.entry_seq_axis(name, entry[name].ndim)
         t = mrow[name].shape[ax]
-        idx = [rows] + [slice(None)] * (entry[name].ndim - 1)
+        r = merged_rows if merged_rows is not None else rows
+        idx = [r] + [slice(None)] * (entry[name].ndim - 1)
         idx[ax] = slice(0, t)
         out[name] = entry[name].at[tuple(idx)].set(
             mrow[name].astype(entry[name].dtype))
@@ -136,9 +143,11 @@ def _fork_entries_rows(entries, src, dst):
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _insert_entry_rows(entry, r, slot):
-    """Write stored KV rows into one layer's cache entry at `slot`
+    """Write stored KV rows into one layer's cache entry at row `slot`
     (prefix-cache hits, swap-in). Per-layer + donated — see
-    _scatter_entry_rows for why whole-cache in/out graphs are banned."""
+    _scatter_entry_rows for why whole-cache in/out graphs are banned.
+    Merged entries: callers pass `slot` already scaled to the merged row
+    index (cfg_row * KH) and `r` holds the merged rows."""
     return {name: jax.lax.dynamic_update_slice(
                 entry[name], r[name].astype(entry[name].dtype),
                 (slot,) + (0,) * (entry[name].ndim - 1))
@@ -300,8 +309,10 @@ def _decode_n_multi(params, cfg, k, dtype, slot_tokens, pos, cache, active,
     """
     rows = active.shape[0]
     reads, big_mask = gpt.window_sources(cache, pos, col_valid, read_bound)
-    int8 = "kT" in cache[0] or "kT4" in cache[0]  # quantized window bufs
-    buf_dtype = dtype if int8 else cache[0]["k"].dtype
+    int8 = ("kT" in cache[0] or "kT4" in cache[0]
+            or "km_scale" in cache[0])             # quantized window bufs
+    big_k = cache[0].get("km", cache[0].get("k"))
+    buf_dtype = dtype if int8 else big_k.dtype
     win_bufs = gpt.init_window_bufs(cfg, rows, k, buf_dtype, int8=int8)
 
     def step(carry, i):
@@ -622,12 +633,14 @@ class ServeEngine:
         assert not (kv_int8 and kv_int4), "pick one KV quantization"
         # merged (B*KH, S, D) cache layout — required at GPT-7B dims where
         # (B,KH,S,D) pads 8x and OOMs at compile (gpt.init_kv_cache_merged).
-        # Offline fast path only: the continuous-batching slot cache keeps
-        # the unmerged layouts (its per-slot scatters index the batch dim).
+        # Supported end to end: offline fast path AND continuous batching
+        # (slot scatters/extracts expand each CFG row to its KH contiguous
+        # merged rows). Not composed with: int4 KV, speculative serving,
+        # beam search (KV forking) — assert early, not mid-run.
         self.kv_merged = kv_merged
         assert not (kv_merged and kv_int4), "kv_merged composes with int8 only"
         assert not (kv_merged and draft_params is not None), \
-            "kv_merged is an offline-generate layout (no spec serving yet)"
+            "kv_merged does not support speculative serving"
 
         # the slot cache is allocated LAZILY on first continuous-batching use:
         # the offline fast path (_generate_compiled) builds its own cache
@@ -722,16 +735,21 @@ class ServeEngine:
         """Slot KV cache, allocated on first continuous-batching use (see
         __init__ — the offline fast path never touches it)."""
         if self._cache is None:
-            assert not self.kv_merged, \
-                "kv_merged supports the offline fast path only (generate); " \
-                "use kv_int8 for continuous-batching slots"
-            self._cache = (
-                gpt.init_kv_cache_int4(self.cfg, self.rows, self.max_seq)
-                if self.kv_int4 else
-                gpt.init_kv_cache_int8(self.cfg, self.rows, self.max_seq)
-                if self.kv_int8 else
-                gpt.init_kv_cache(self.cfg, self.rows, self.max_seq,
-                                  self.dtype))
+            if self.kv_merged:
+                self._cache = (
+                    gpt.init_kv_cache_int8_merged(self.cfg, self.rows,
+                                                  self.max_seq)
+                    if self.kv_int8 else
+                    gpt.init_kv_cache_merged(self.cfg, self.rows,
+                                             self.max_seq, self.dtype))
+            else:
+                self._cache = (
+                    gpt.init_kv_cache_int4(self.cfg, self.rows, self.max_seq)
+                    if self.kv_int4 else
+                    gpt.init_kv_cache_int8(self.cfg, self.rows, self.max_seq)
+                    if self.kv_int8 else
+                    gpt.init_kv_cache(self.cfg, self.rows, self.max_seq,
+                                      self.dtype))
         return self._cache
 
     @cache.setter
@@ -740,11 +758,16 @@ class ServeEngine:
 
     # ---------------------------------------------------------- prefix cache
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("t",))
-    def _extract_rows(cache, slot, t: int):
+    @functools.partial(jax.jit, static_argnames=("t", "kv_heads"))
+    def _extract_rows(cache, slot, t: int, kv_heads: Optional[int] = None):
         """Copy one slot's first t KV rows out of every layer's cache entry
-        (layout-agnostic: bf16 {k,v} or seq-minor int8 {kT,...})."""
+        (layout-agnostic: bf16 {k,v}, seq-minor int8 {kT,...}, or merged
+        {km,...} — merged needs kv_heads to span the slot's KH rows)."""
         def ex(name, a):
+            if name.startswith(("km", "vm")):
+                sizes = (kv_heads, t) + a.shape[2:]
+                return jax.lax.dynamic_slice(
+                    a, (slot * kv_heads,) + (0,) * (a.ndim - 1), sizes)
             ax = gpt.entry_seq_axis(name, a.ndim)
             sizes = (1,) + a.shape[1:ax] + (t,) + a.shape[ax + 1:]
             return jax.lax.dynamic_slice(a, (slot,) + (0,) * (a.ndim - 1),
@@ -758,6 +781,8 @@ class ServeEngine:
         Rare slow path (swap-in); admission hits go through
         _insert_rows_batched."""
         slot = jnp.asarray(slot)
+        if self.kv_merged:
+            slot = slot * self.cfg.kv_heads   # merged row index
         self.cache = [_insert_entry_rows(e, r, slot)
                       for e, r in zip(self.cache, rows)]
 
@@ -831,6 +856,10 @@ class ServeEngine:
                              "0.4.1 parity: its spec path had the same "
                              "restriction)")
         if sp.use_beam_search:
+            if self.kv_merged:
+                raise ValueError("beam search is not supported over the "
+                                 "merged KV layout (KV forking indexes "
+                                 "batch rows)")
             # vLLM's _verify_beam_search: best_of > 1, no sampling knobs
             if m < 2:
                 raise ValueError("beam search requires best_of >= 2")
@@ -986,9 +1015,16 @@ class ServeEngine:
             if req.params.use_beam_search:
                 return False   # beams are co-scheduled; no partial preemption
             row_c, row_u = 2 * slot_id, 2 * slot_id + 1
+            kh = self.cfg.kv_heads
+
+            def _host_rows(name, a):
+                if name.startswith(("km", "vm")):   # merged: KH rows per slot
+                    return a[row_c * kh:(row_u + 1) * kh]
+                return a[row_c:row_u + 1]
+
             self._swapped[request_id] = {
                 "rows": jax.device_get(
-                    [{name: a[row_c:row_u + 1] for name, a in e.items()}
+                    [{name: _host_rows(name, a) for name, a in e.items()}
                      for e in self.cache]),
                 "pos": (int(self.pos[row_c]), int(self.pos[row_u])),
                 "col_valid": self.col_valid[row_c:row_u + 1].copy(),
@@ -1033,10 +1069,10 @@ class ServeEngine:
     # ------------------------------------------------------------------- sched
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("cfg", "int8", "int4",
-                                                  "dtype"))
+                                                  "dtype", "merged"))
     def _prefill_mini(params, cfg, cond_emb, prefill_mask, freqs_cis,
                       int8: bool = False, int4: bool = False,
-                      dtype=jnp.bfloat16):
+                      dtype=jnp.bfloat16, merged: bool = False):
         """Prefill M conditioning prefixes in ONE dispatch into a small
         (M, T)-sized mini cache (vLLM batches queued prompts the same way,
         model_runner.py:676-844; the round-1 engine issued one dispatch per
@@ -1047,9 +1083,13 @@ class ServeEngine:
         cond_emb (M, T, dim); prefill_mask (M, 1, T, T).
         Returns (logits (M, V), mini_cache)."""
         m, t = cond_emb.shape[:2]
-        mini = (gpt.init_kv_cache_int4(cfg, m, t) if int4
-                else gpt.init_kv_cache_int8(cfg, m, t) if int8
-                else gpt.init_kv_cache(cfg, m, t, dtype))
+        if merged:
+            mini = (gpt.init_kv_cache_int8_merged(cfg, m, t) if int8
+                    else gpt.init_kv_cache_merged(cfg, m, t, dtype))
+        else:
+            mini = (gpt.init_kv_cache_int4(cfg, m, t) if int4
+                    else gpt.init_kv_cache_int8(cfg, m, t) if int8
+                    else gpt.init_kv_cache(cfg, m, t, dtype))
         return gpt.prefill_forward(params, cfg, cond_emb, mini,
                                    prefill_mask, freqs_cis)
 
@@ -1184,13 +1224,15 @@ class ServeEngine:
             rows = jnp.asarray(np.array([j[1] for j in padded], np.int32))
             logits_all, mini = self._prefill_mini(
                 self.model_params, self.cfg, embs, masks, self.freqs_cis,
-                self.kv_int8, self.kv_int4, self.dtype)
+                self.kv_int8, self.kv_int4, self.dtype,
+                merged=self.kv_merged)
             self.cache = self._scatter_cache(self.cache, mini, rows)
             filled: Dict[bytes, Any] = {}
+            kh = self.cfg.kv_heads if self.kv_merged else None
             for i, (key, row, _, _) in enumerate(jobs):
                 logits_by_row[row] = logits_all[i:i + 1]
                 kv_rows = self._extract_rows(self.cache, jnp.asarray(row),
-                                             self.t_cond)
+                                             self.t_cond, kv_heads=kh)
                 filled[key] = (kv_rows, logits_all[i:i + 1])
                 if self.prefix_cache_size > 0:
                     self.prefix_cache[key] = filled[key]
@@ -1611,7 +1653,8 @@ class ServeEngine:
             rows = jnp.zeros(m, jnp.int32)
             logits, mini = self._prefill_mini(
                 self.model_params, self.cfg, embs, masks, self.freqs_cis,
-                self.kv_int8, self.kv_int4, self.dtype)
+                self.kv_int8, self.kv_int4, self.dtype,
+                merged=self.kv_merged)
             self.cache = self._scatter_cache(self.cache, mini, rows)
             if self.draft_params is not None:
                 # spec mode prefills the DRAFT for every admitted row too
@@ -1635,7 +1678,9 @@ class ServeEngine:
             n += 1
         # prefix-cache row extract + batched hit-insert buckets: every
         # pow2 cohort size the admission glue can dispatch mid-run
-        kv_rows = self._extract_rows(self.cache, jnp.asarray(0), t)
+        kv_rows = self._extract_rows(
+            self.cache, jnp.asarray(0), t,
+            kv_heads=self.cfg.kv_heads if self.kv_merged else None)
         for m in _pow2_buckets(min(self._INSERT_COHORT_MAX,
                                    2 * self.max_batch)):
             self._insert_rows_batched([(kv_rows, 0)] * m)
