@@ -237,6 +237,32 @@ row gptL_fid_1000 2700 \
     python scripts/quality_loop.py fid --gpt-dir gptL --step 1000
 row fid_merge_c 600 needs= produces= -- python scripts/merge_fid_series.py
 
+# --- P8: adaptive-window online serving (VERDICT #5) ---------------------
+# Baseline: static w16 at 16 req/s = 1,104 tok/s, TTFT p50 1.59 s
+# (GPT-L_b64_w16_r16.0_kv8). Adaptive: same engine + max_window 128 —
+# windows grow 16->128 only at full occupancy, so TTFT should hold while
+# the per-window tunnel syncs drop ~8x at saturation.
+BON=$PWD/bench_serving_online.json
+row online_adaptive_b64 10800 needs= \
+    produces=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 -- \
+    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
+        --decode-window 16 --max-window 128 --rates 8 16 \
+        --num-requests 96
+row online_adaptive_b64_r32 7200 \
+    needs=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 \
+    produces=jsonkey:$BON:GPT-L_b64_w16m128_r32.0_kv8 -- \
+    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
+        --decode-window 16 --max-window 128 --rates 32 \
+        --num-requests 192
+
+# GPT-7B ONLINE (merged int8 KV + w8 now serve through continuous
+# batching): first online row for the zoo's top rung.
+row online_7b_b8 7200 needs=jsonkey:$BSO:GPT-7B_w8_kv8_kvm \
+    produces=jsonkey:$BON:GPT-7B_b8_w16m64_r1.0_kv8 -- \
+    python scripts/bench_serving.py online GPT-7B --batch 8 --weight-int8 \
+        --kv-int8 --kv-merged --decode-window 16 --max-window 64 \
+        --rates 1 --num-requests 24
+
 # --- P7: t2v second scale point — GPT-L trunk (VERDICT #6) ---------------
 row t2v_data 1800 needs= produces=$T2V/train_clips.npy -- \
     python scripts/t2v_quality.py data
@@ -258,24 +284,6 @@ row t2v_sample_l_uncond 7200 needs=$T2V/gpt_diff_l/params.npy \
 row t2v_score_l 3600 needs=$T2V/samples_diff_l.npy \
     produces=jsonkey:$T2V/quality_table.json:diff_l -- \
     python scripts/t2v_quality.py score --tags diff_l diff_l_uncond
-
-# --- P8: adaptive-window online serving (VERDICT #5) ---------------------
-# Baseline: static w16 at 16 req/s = 1,104 tok/s, TTFT p50 1.59 s
-# (GPT-L_b64_w16_r16.0_kv8). Adaptive: same engine + max_window 128 —
-# windows grow 16->128 only at full occupancy, so TTFT should hold while
-# the per-window tunnel syncs drop ~8x at saturation.
-BON=$PWD/bench_serving_online.json
-row online_adaptive_b64 10800 needs= \
-    produces=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 -- \
-    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
-        --decode-window 16 --max-window 128 --rates 8 16 \
-        --num-requests 96
-row online_adaptive_b64_r32 7200 \
-    needs=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 \
-    produces=jsonkey:$BON:GPT-L_b64_w16m128_r32.0_kv8 -- \
-    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
-        --decode-window 16 --max-window 128 --rates 32 \
-        --num-requests 192
 
 # --- P9: trained-pair speculative acceptance (VERDICT #4) ----------------
 # Real alpha needs target+draft trained on the SAME codes: GPT-L@3000 (P4)
