@@ -96,6 +96,7 @@ def _key_data_sds():
 def export_serving_artifacts(params, cfg: GPTConfig, *, max_batch: int,
                              max_seq: Optional[int] = None, dtype=None,
                              kv_int8: bool = False, kv_int4: bool = False,
+                             kv_merged: bool = False,
                              decode_window: int = 1,
                              windows: Optional[Sequence[int]] = None,
                              draft_params=None,
@@ -125,7 +126,10 @@ def export_serving_artifacts(params, cfg: GPTConfig, *, max_batch: int,
     freqs_s = jax.eval_shape(lambda: gpt.precompute_freqs_2d(
         cfg.grid_size, cfg.head_dim, cfg.rope_base, t_cond))
     cache_s = jax.eval_shape(lambda: (
-        gpt.init_kv_cache_int4(cfg, rows, max_seq) if kv_int4
+        (gpt.init_kv_cache_int8_merged(cfg, rows, max_seq) if kv_int8
+         else gpt.init_kv_cache_merged(cfg, rows, max_seq, dtype))
+        if kv_merged
+        else gpt.init_kv_cache_int4(cfg, rows, max_seq) if kv_int4
         else gpt.init_kv_cache_int8(cfg, rows, max_seq) if kv_int8
         else gpt.init_kv_cache(cfg, rows, max_seq, dtype)))
     i32b = jax.ShapeDtypeStruct((max_batch,), jnp.int32)
@@ -170,7 +174,8 @@ def export_serving_artifacts(params, cfg: GPTConfig, *, max_batch: int,
     # ---- batched admission prefill + row scatter, per pow2 size ----------
     def prefill_fn(p, embs, masks, freqs):
         return eng_mod.ServeEngine._prefill_mini(
-            p, cfg, embs, masks, freqs, kv_int8, kv_int4, dtype)
+            p, cfg, embs, masks, freqs, kv_int8, kv_int4, dtype,
+            merged=kv_merged)
 
     def scatter_fn(entry, mr, rws):
         return eng_mod._scatter_entry_rows(entry, mr, rws)

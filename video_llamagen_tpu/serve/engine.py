@@ -1520,7 +1520,8 @@ class ServeEngine:
         arts = aot.export_serving_artifacts(
             self.model_params, self.cfg, max_batch=self.max_batch,
             max_seq=self.max_seq, dtype=self.dtype, kv_int8=self.kv_int8,
-            kv_int4=self.kv_int4, decode_window=self.decode_window,
+            kv_int4=self.kv_int4, kv_merged=self.kv_merged,
+            decode_window=self.decode_window,
             windows=windows or self._window_ladder,
             draft_params=self.draft_params,
             draft_cfg=self.draft_cfg, spec_k=self.spec_k,
@@ -1528,7 +1529,9 @@ class ServeEngine:
             cache_group=self.cache_group)
         return aot.save_artifacts(path, arts, self.cfg, meta={
             "max_batch": self.max_batch, "decode_window": self.decode_window,
-            "kv_int8": self.kv_int8, "kv_int4": self.kv_int4})
+            "max_window": self.max_window,
+            "kv_int8": self.kv_int8, "kv_int4": self.kv_int4,
+            "kv_merged": self.kv_merged})
 
     def prewarm(self, windows=None, extras: bool = False,
                 logprobs: bool = False) -> int:
