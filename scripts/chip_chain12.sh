@@ -121,24 +121,14 @@ row() {
 BSO=$PWD/bench_serving_offline.json
 QT=$Q/quality_table.json
 
-# --- P0: GPT-7B over the merged cache layout (VERDICT #1) ----------------
-# The reference zoo's top rung (ref gpt.py:465-466), never served. W4
-# weights ~3.4G; merged bf16 cache 4.8G at b8; merged int8 halves that.
-row gpt7b_w4_kvm_b8 5400 needs= produces=jsonkey:$BSO:GPT-7B_w4_kvm -- \
-    python scripts/bench_serving.py offline GPT-7B --batch 8 \
-        --weight-int4 --kv-merged
-row gpt7b_w4_kv8_kvm_b8 5400 needs= \
-    produces=jsonkey:$BSO:GPT-7B_w4_kv8_kvm -- \
-    python scripts/bench_serving.py offline GPT-7B --batch 8 \
-        --weight-int4 --kv-int8 --kv-merged
-row gpt7b_w4_kv8_kvm_b16 5400 needs=jsonkey:$BSO:GPT-7B_w4_kv8_kvm \
-    produces=jsonkey:$BSO:GPT-7B_w4_kv8_kvm_b16 -- \
+# --- P0: GPT-7B ladder tail (chain13 ran the working configs) ------------
+# The original --weight-int4 (s4) rows crash at dispatch (eager-relayout
+# recursion; CLAUDE.md s4 hazard) — chain13's w8/w4p rows supersede them.
+# Remaining rung: w8 at batch 16 (6.5G weights + 4.7G merged int8 KV fits).
+row gpt7b_w8_kv8_kvm_b16 5400 needs=jsonkey:$BSO:GPT-7B_w8_kv8_kvm \
+    produces=jsonkey:$BSO:GPT-7B_w8_kv8_kvm_b16 -- \
     python scripts/bench_serving.py offline GPT-7B --batch 16 \
-        --weight-int4 --kv-int8 --kv-merged
-row gpt7b_w4_kv8_kvm_b32 5400 needs=jsonkey:$BSO:GPT-7B_w4_kv8_kvm_b16 \
-    produces=jsonkey:$BSO:GPT-7B_w4_kv8_kvm_b32 -- \
-    python scripts/bench_serving.py offline GPT-7B --batch 32 \
-        --weight-int4 --kv-int8 --kv-merged
+        --weight-int8 --kv-int8 --kv-merged
 
 # --- P1: finish the gptL100 FID point (series half, VERDICT #2a) ---------
 row gptL100_sample 5400 \
