@@ -334,6 +334,9 @@ def main(argv=None):
     p.add_argument("--weight-int4", action="store_true")
     p.add_argument("--kv-int8", action="store_true")
     p.add_argument("--kv-int4", action="store_true")
+    p.add_argument("--kv-merged", action="store_true",
+                   help="merged (B*KH, S, D) cache layout (GPT-7B dims; "
+                        "models/gpt.init_kv_cache_merged)")
     p.add_argument("--platforms", nargs="+", default=["tpu"])
     p.add_argument("--cache-group", type=int, default=8,
                    help="layers per grouped commit/scatter/insert artifact")
@@ -348,11 +351,13 @@ def main(argv=None):
                                weight_int4=args.weight_int4)
     arts = export_serving_artifacts(
         params_s, cfg, max_batch=args.batch, kv_int8=args.kv_int8,
-        kv_int4=args.kv_int4, decode_window=args.decode_window,
+        kv_int4=args.kv_int4, kv_merged=args.kv_merged,
+        decode_window=args.decode_window,
         platforms=args.platforms, cache_group=args.cache_group)
     save_artifacts(args.out, arts, cfg, meta={
         "model": args.model, "max_batch": args.batch,
         "kv_int8": args.kv_int8, "kv_int4": args.kv_int4,
+        "kv_merged": args.kv_merged,
         "weight_int8": args.weight_int8, "weight_int4": args.weight_int4,
         "decode_window": args.decode_window})
     total = sum(len(open(os.path.join(args.out, n + SUFFIX), "rb").read())
