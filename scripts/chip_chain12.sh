@@ -31,16 +31,17 @@ DEADLINE=$(( $(date +%s) + 21600 ))   # stop STARTING rows after 6 h
 
 say() { echo "[$(date -u +%H:%M:%S)] $*"; }
 
-# ---- wait for chain11 to exit (pid-based; no TPU clients spawned) -------
-if [ -f "$OUT/chain11.pid" ]; then
-    C11=$(cat "$OUT/chain11.pid")
-    while kill -0 "$C11" 2>/dev/null; do
-        say "chain11 ($C11) still running; sleeping 60s"
+# ---- wait for a predecessor chain (opt-in via CHAIN_WAIT_PID) -----------
+# NOTE: pid-files of EXITED chains must not be waited on — pid reuse once
+# matched a pytest worker and stalled the handoff 48 min. Callers pass the
+# live predecessor pid explicitly.
+if [ -n "${CHAIN_WAIT_PID:-}" ]; then
+    while kill -0 "$CHAIN_WAIT_PID" 2>/dev/null; do
+        say "predecessor ($CHAIN_WAIT_PID) still running; sleeping 60s"
         sleep 60
     done
-    say "chain11 exited"
+    say "predecessor exited"
 fi
-# chain11 was stopped via the STOP file; clear it so THIS chain runs
 rm -f "$OUT/STOP"
 
 probe_tpu() {
@@ -158,6 +159,32 @@ row gptL_spec_b32 5400 needs= \
     python scripts/bench_serving.py offline GPT-L --batch 32 \
         --draft-model GPT-B --spec-k 4
 
+# --- P8: adaptive-window online serving (VERDICT #5) ---------------------
+# Baseline: static w16 at 16 req/s = 1,104 tok/s, TTFT p50 1.59 s
+# (GPT-L_b64_w16_r16.0_kv8). Adaptive: same engine + max_window 128 —
+# windows grow 16->128 only at full occupancy, so TTFT should hold while
+# the per-window tunnel syncs drop ~8x at saturation.
+BON=$PWD/bench_serving_online.json
+row online_adaptive_b64 10800 needs= \
+    produces=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 -- \
+    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
+        --decode-window 16 --max-window 128 --rates 8 16 \
+        --num-requests 96
+row online_adaptive_b64_r32 7200 \
+    needs=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 \
+    produces=jsonkey:$BON:GPT-L_b64_w16m128_r32.0_kv8 -- \
+    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
+        --decode-window 16 --max-window 128 --rates 32 \
+        --num-requests 192
+
+# GPT-7B ONLINE (merged int8 KV + w8 now serve through continuous
+# batching): first online row for the zoo's top rung.
+row online_7b_b8 7200 needs=jsonkey:$BSO:GPT-7B_w8_kv8_kvm \
+    produces=jsonkey:$BON:GPT-7B_b8_w16m64_r1.0_kv8 -- \
+    python scripts/bench_serving.py online GPT-7B --batch 8 --weight-int8 \
+        --kv-int8 --kv-merged --decode-window 16 --max-window 64 \
+        --rates 1 --num-requests 24
+
 # --- P3: t2i caption-control loop (VERDICT #2b; codes rebuilt by ch11) ---
 row t2i_data 1800 needs= produces=$T2I/caption_feats.npy -- \
     python scripts/t2i_quality.py data
@@ -226,32 +253,6 @@ row gptL_fid_1000 2700 \
     produces=jsonkey:$QT:gptL_step1000 -- \
     python scripts/quality_loop.py fid --gpt-dir gptL --step 1000
 row fid_merge_c 600 needs= produces= -- python scripts/merge_fid_series.py
-
-# --- P8: adaptive-window online serving (VERDICT #5) ---------------------
-# Baseline: static w16 at 16 req/s = 1,104 tok/s, TTFT p50 1.59 s
-# (GPT-L_b64_w16_r16.0_kv8). Adaptive: same engine + max_window 128 —
-# windows grow 16->128 only at full occupancy, so TTFT should hold while
-# the per-window tunnel syncs drop ~8x at saturation.
-BON=$PWD/bench_serving_online.json
-row online_adaptive_b64 10800 needs= \
-    produces=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 -- \
-    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
-        --decode-window 16 --max-window 128 --rates 8 16 \
-        --num-requests 96
-row online_adaptive_b64_r32 7200 \
-    needs=jsonkey:$BON:GPT-L_b64_w16m128_r16.0_kv8 \
-    produces=jsonkey:$BON:GPT-L_b64_w16m128_r32.0_kv8 -- \
-    python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
-        --decode-window 16 --max-window 128 --rates 32 \
-        --num-requests 192
-
-# GPT-7B ONLINE (merged int8 KV + w8 now serve through continuous
-# batching): first online row for the zoo's top rung.
-row online_7b_b8 7200 needs=jsonkey:$BSO:GPT-7B_w8_kv8_kvm \
-    produces=jsonkey:$BON:GPT-7B_b8_w16m64_r1.0_kv8 -- \
-    python scripts/bench_serving.py online GPT-7B --batch 8 --weight-int8 \
-        --kv-int8 --kv-merged --decode-window 16 --max-window 64 \
-        --rates 1 --num-requests 24
 
 # --- P7: t2v second scale point — GPT-L trunk (VERDICT #6) ---------------
 row t2v_data 1800 needs= produces=$T2V/train_clips.npy -- \
