@@ -185,6 +185,34 @@ row online_7b_b8 7200 needs=jsonkey:$BSO:GPT-7B_w8_kv8_kvm \
         --kv-int8 --kv-merged --decode-window 16 --max-window 64 \
         --rates 1 --num-requests 24
 
+# --- P4: gptL 3000-step rebuild (FID tail + kvgate dependency) -----------
+row gptL_train 10800 needs=$Q/codes/imagenet64_codes \
+    produces=$Q/gptL/checkpoints/3000 -- \
+    python scripts/quality_loop.py gpt --gpt-model GPT-L --gpt-dir gptL \
+        --steps 3000 --ckpt-every 1000
+row gptL_sample_3000 5400 \
+    needs=$Q/gptL/checkpoints/3000,$Q/checkpoints/1500 \
+    produces=$Q/samples_gptL_step3000.npz -- \
+    python scripts/quality_loop.py sample --gpt-model GPT-L \
+        --gpt-dir gptL --step 3000
+row gptL_fid_3000 2700 \
+    needs=$Q/samples_gptL_step3000.npz,$Q/ref_batch.npz \
+    produces=jsonkey:$QT:gptL_step3000 -- \
+    python scripts/quality_loop.py fid --gpt-dir gptL --step 3000
+row fid_merge_b 600 needs= produces= -- python scripts/merge_fid_series.py
+
+# --- P6: gptL 1000-step FID point (completes the 3-point series) ---------
+row gptL_sample_1000 5400 \
+    needs=$Q/gptL/checkpoints/1000,$Q/checkpoints/1500 \
+    produces=$Q/samples_gptL_step1000.npz -- \
+    python scripts/quality_loop.py sample --gpt-model GPT-L \
+        --gpt-dir gptL --step 1000
+row gptL_fid_1000 2700 \
+    needs=$Q/samples_gptL_step1000.npz,$Q/ref_batch.npz \
+    produces=jsonkey:$QT:gptL_step1000 -- \
+    python scripts/quality_loop.py fid --gpt-dir gptL --step 1000
+row fid_merge_c 600 needs= produces= -- python scripts/merge_fid_series.py
+
 # --- P3: t2i caption-control loop (VERDICT #2b; codes rebuilt by ch11) ---
 row t2i_data 1800 needs= produces=$T2I/caption_feats.npy -- \
     python scripts/t2i_quality.py data
@@ -208,22 +236,6 @@ row t2i_score 3600 \
     produces=jsonkey:$T2I/quality_table.json:trained -- \
     python scripts/t2i_quality.py score
 
-# --- P4: gptL 3000-step rebuild (FID tail + kvgate dependency) -----------
-row gptL_train 10800 needs=$Q/codes/imagenet64_codes \
-    produces=$Q/gptL/checkpoints/3000 -- \
-    python scripts/quality_loop.py gpt --gpt-model GPT-L --gpt-dir gptL \
-        --steps 3000 --ckpt-every 1000
-row gptL_sample_3000 5400 \
-    needs=$Q/gptL/checkpoints/3000,$Q/checkpoints/1500 \
-    produces=$Q/samples_gptL_step3000.npz -- \
-    python scripts/quality_loop.py sample --gpt-model GPT-L \
-        --gpt-dir gptL --step 3000
-row gptL_fid_3000 2700 \
-    needs=$Q/samples_gptL_step3000.npz,$Q/ref_batch.npz \
-    produces=jsonkey:$QT:gptL_step3000 -- \
-    python scripts/quality_loop.py fid --gpt-dir gptL --step 3000
-row fid_merge_b 600 needs= produces= -- python scripts/merge_fid_series.py
-
 # --- P5: KV quality gates on the trained GPT-L (VERDICT #2c) -------------
 # chain11 ran these against a nonexistent step-6000 checkpoint (ADVICE r4);
 # explicit --step 3000 against the P4 rebuild.
@@ -241,18 +253,6 @@ for kv in bf16 int8 int4; do
         produces=jsonkey:$KVG:fid_$kv -- \
         python scripts/kv_quality_gate.py fid --kv $kv --step 3000
 done
-
-# --- P6: gptL 1000-step FID point (completes the 3-point series) ---------
-row gptL_sample_1000 5400 \
-    needs=$Q/gptL/checkpoints/1000,$Q/checkpoints/1500 \
-    produces=$Q/samples_gptL_step1000.npz -- \
-    python scripts/quality_loop.py sample --gpt-model GPT-L \
-        --gpt-dir gptL --step 1000
-row gptL_fid_1000 2700 \
-    needs=$Q/samples_gptL_step1000.npz,$Q/ref_batch.npz \
-    produces=jsonkey:$QT:gptL_step1000 -- \
-    python scripts/quality_loop.py fid --gpt-dir gptL --step 1000
-row fid_merge_c 600 needs= produces= -- python scripts/merge_fid_series.py
 
 # --- P7: t2v second scale point — GPT-L trunk (VERDICT #6) ---------------
 row t2v_data 1800 needs= produces=$T2V/train_clips.npy -- \
