@@ -132,7 +132,7 @@ def bench_online(args):
                    draft_model=args.draft_model, spec_k=args.spec_k,
                    weight_int4=args.weight_int4,
                    cache_group=args.cache_group,
-                   max_window=args.max_window)
+                   max_window=args.max_window, kv_merged=args.kv_merged)
     sp = SamplingParams(max_tokens=args.n_tokens, cfg_scale=2.0, top_k=1000)
 
     # Compile every dispatchable graph BEFORE the clock starts — decode
@@ -223,7 +223,8 @@ def bench_online(args):
                + ("_w4p" if args.weight_int4 == "packed"
                   else "_w4" if args.weight_int4 else "")
                + ("_kv8" if args.kv_int8 else "")
-               + ("_kv4" if args.kv_int4 else ""))
+               + ("_kv4" if args.kv_int4 else "")
+               + ("_kvm" if args.kv_merged else ""))
         if not args.debug:     # debug prints skew the timings; don't record
             _merge("bench_serving_online.json", {key: rec})
         eng.stats.update(requests_done=0, tokens_generated=0, steps=0,
@@ -267,7 +268,9 @@ def main():
                    help="merged (B*KH, S, D) cache layout — required at "
                         "GPT-7B dims (layout-padding OOM otherwise; "
                         "models/gpt.init_kv_cache_merged). Composes with "
-                        "--kv-int8; offline mode only")
+                        "--kv-int8; offline AND online (continuous "
+                        "batching expands each CFG row to its KH merged "
+                        "rows)")
     p.add_argument("--rate", type=float, default=4.0)
     p.add_argument("--rates", type=float, nargs="+", default=None,
                    help="measure several Poisson rates in ONE process "
@@ -290,8 +293,6 @@ def main():
                             "n_tokens": p.get_default("n_tokens")}
     if args.weight_int4_packed:
         args.weight_int4 = "packed"   # build() packs after quantizing
-    if args.kv_merged and args.mode != "offline":
-        p.error("--kv-merged supports offline mode only")
     if args.mode == "offline":
         bench_offline(args)
     else:

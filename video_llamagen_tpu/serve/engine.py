@@ -1473,17 +1473,16 @@ class ServeEngine:
         window set a short ladder instead of ramping down through every
         power of two per request.
 
-        ADAPTIVE GROWTH (max_window > decode_window): at FULL occupancy an
-        arrival cannot be admitted before a slot frees regardless of window
-        length, so the per-window host sync is pure overhead — the window
-        grows through the prewarmed ladder up to max_window. Two clamps keep
-        latency honest: with requests QUEUED the window never runs past the
-        nearest slot-finish boundary (the queued request admits exactly when
-        the slot frees), and at partial occupancy the window stays at the
-        base decode_window so a fresh arrival waits at most one short window
-        for its prefill. Saturated online throughput was 10x below the
-        offline window rate with a static 16-window (1,104 vs 11,457 tok/s,
-        online_b64_r5.log) — mostly per-window tunnel syncs this removes.
+        ADAPTIVE GROWTH (max_window > decode_window): whenever no admission
+        is possible RIGHT NOW, the window grows through the prewarmed ladder
+        up to max_window — a fresh arrival waits at most one window duration
+        (the operator picks max_window so that duration is acceptable TTFT;
+        128 steps of GPT-L b64 ≈ 0.7 s), and with requests QUEUED the window
+        never runs past the nearest slot-finish boundary (the queued request
+        admits exactly when the slot frees). Saturated online throughput was
+        10x below the offline window rate with a static 16-window (1,104 vs
+        11,457 tok/s, online_b64_r5.log) — mostly per-window tunnel syncs
+        this removes.
 
         No small-window cap under queue pressure: step() admits BEFORE
         decoding, so a non-empty queue implies all slots are full and the
@@ -1495,13 +1494,18 @@ class ServeEngine:
             return 1
         if self.queue and any(s is None for s in self.slots):
             return 1
-        full = all(s is not None for s in self.slots)
-        cap = self.max_window if full else self.decode_window
-        if full and cap > self.decode_window:
+        cap = self.max_window
+        if cap > self.decode_window:
             rem = [self.slots[i].params.max_tokens
                    - len(self.slots[i].tokens) for i in active_slots]
-            # queued: stop at the nearest finish so the waiter admits there;
-            # drain: stop at the farthest finish so the tail isn't all-dead
+            # queued (slots all full): stop at the nearest finish so the
+            # waiter admits at that boundary; otherwise stop at the farthest
+            # finish so the drain tail isn't all-dead steps. Arrivals at
+            # partial occupancy wait at most ONE window duration (the ladder
+            # ceiling bounds it; pick max_window so that duration is
+            # acceptable TTFT) — measured r16 throughput with the earlier
+            # partial-occupancy=base rule was +4% because the drain ran at
+            # the base window.
             cap = min(cap, max(min(rem) if self.queue else max(rem), 1))
         k = 1
         for w in self._window_ladder:
