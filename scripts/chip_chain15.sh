@@ -34,6 +34,12 @@ run() {
     fi
 }
 
+# retry: gptL 1000-step FID died on a transient tunnel error
+# ("response body closed"); the samples npz exists
+run gptL_fid_1000_v2 2700 \
+    python scripts/quality_loop.py fid --gpt-dir gptL --step 1000
+run fid_merge_d 600 python scripts/merge_fid_series.py
+
 # GPT-L adaptive rerun, new growth policy (one process, both rates)
 run online_adapt2_b64 7200 \
     python scripts/bench_serving.py online GPT-L --batch 64 --kv-int8 \
