@@ -47,11 +47,12 @@ def test_pick_window_rules(params):
     eng = ServeEngine(params, TINY, max_batch=2, decode_window=4,
                       max_window=16)
     sp = SamplingParams(max_tokens=40, cfg_scale=1.0)
-    # partial occupancy, empty queue -> grow (an arrival waits at most one
-    # window; the drain tail must not crawl at the base window)
+    # partial occupancy, empty queue -> base window (measured on-chip:
+    # growing here dropped r8 throughput 1074->843 tok/s and blew TTFT
+    # 0.77->7.9 s — fast admission beats fused windows until full)
     eng.add_request(np.int32(1), sp)
     eng._admit()
-    assert eng._pick_window([0]) == 16
+    assert eng._pick_window([0]) == 4
     # full occupancy, empty queue -> max window
     eng.add_request(np.int32(2), sp)
     eng._admit()

@@ -1473,16 +1473,20 @@ class ServeEngine:
         window set a short ladder instead of ramping down through every
         power of two per request.
 
-        ADAPTIVE GROWTH (max_window > decode_window): whenever no admission
-        is possible RIGHT NOW, the window grows through the prewarmed ladder
-        up to max_window — a fresh arrival waits at most one window duration
-        (the operator picks max_window so that duration is acceptable TTFT;
-        128 steps of GPT-L b64 ≈ 0.7 s), and with requests QUEUED the window
-        never runs past the nearest slot-finish boundary (the queued request
-        admits exactly when the slot frees). Saturated online throughput was
-        10x below the offline window rate with a static 16-window (1,104 vs
-        11,457 tok/s, online_b64_r5.log) — mostly per-window tunnel syncs
-        this removes.
+        ADAPTIVE GROWTH (max_window > decode_window): at FULL occupancy an
+        arrival cannot be admitted before a slot frees regardless of window
+        length, so the per-window host sync is pure overhead — the window
+        grows through the prewarmed ladder up to max_window, clamped to the
+        nearest slot-finish boundary while requests queue (the waiter
+        admits exactly when the slot frees) and to the farthest finish on
+        the drain tail. At PARTIAL occupancy the window stays at the base
+        decode_window: measured A/B on-chip (online_adapt2_b64.log vs
+        online_adaptive_b64.log, GPT-L b64 kv8 r8/r16) — growing at partial
+        occupancy too dropped r8 throughput 1,074 -> 843 tok/s and blew
+        TTFT p50 0.77 -> 7.9 s, because fast admission (filling rows)
+        beats fused windows until the batch is full. Full-occupancy-only
+        growth: r16 1,104 -> 1,144 tok/s, r32 1,187 -> 1,586 (+34%), TTFT
+        p50 held ~1 s at r16.
 
         No small-window cap under queue pressure: step() admits BEFORE
         decoding, so a non-empty queue implies all slots are full and the
@@ -1494,18 +1498,11 @@ class ServeEngine:
             return 1
         if self.queue and any(s is None for s in self.slots):
             return 1
-        cap = self.max_window
-        if cap > self.decode_window:
+        full = all(s is not None for s in self.slots)
+        cap = self.max_window if full else self.decode_window
+        if full and cap > self.decode_window:
             rem = [self.slots[i].params.max_tokens
                    - len(self.slots[i].tokens) for i in active_slots]
-            # queued (slots all full): stop at the nearest finish so the
-            # waiter admits at that boundary; otherwise stop at the farthest
-            # finish so the drain tail isn't all-dead steps. Arrivals at
-            # partial occupancy wait at most ONE window duration (the ladder
-            # ceiling bounds it; pick max_window so that duration is
-            # acceptable TTFT) — measured r16 throughput with the earlier
-            # partial-occupancy=base rule was +4% because the drain ran at
-            # the base window.
             cap = min(cap, max(min(rem) if self.queue else max(rem), 1))
         k = 1
         for w in self._window_ladder:
